@@ -1,0 +1,257 @@
+"""Similarity search over embeddings (SURVEY.md §2c).
+
+Three tiers, all oracle-verifiable:
+
+- ``similarity_topk``  — brute-force cosine top-k against a broadcast
+  query vector: the correctness baseline. One scan, no shuffle except
+  the k-row TakeOrdered merge.
+- ``lsh_bucket_assign`` / ``similarity_ann_lsh`` — random-hyperplane
+  LSH: signatures from deterministic md5-derived planes, candidates =
+  query's bucket only. At 100 TB the bucket join prunes the candidate
+  set by ~2^planes before any full dot product runs.
+- ``ivf_assign`` / ``similarity_ann_ivf`` — IVF coarse quantization:
+  assign every vector to its nearest (deterministically chosen)
+  centroid via argmin L2; probe only the query's cell.
+
+Determinism notes: plane weights derive from md5 of (plane, dim) so
+Spark and DuckDB build bit-identical planes; all dot products fold in
+double and round to 6 digits before any sign test, threshold, or
+ordering; ties in top-k break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rust_etl_spark.functions.hashing import md5_long60, md5_long60_sql
+from rust_etl_spark.functions.vectors import cosine, cosine_sql, l2sq, l2sq_sql, to_double_array
+from rust_etl_spark.plans.catalog import register
+from rust_etl_spark.sources import load_table
+
+TOPK = 10
+QUERY_VEC_ID = 0
+N_PLANES = 8
+N_DIMS = 64
+IVF_CENTROID_MOD = 100  #: vec_id % MOD == 0 -> centroid (deterministic codebook)
+
+
+# ------------------------------------------------------ brute force
+
+_TOPK_ORACLE = f"""
+    SELECT a.vec_id, a.label, {cosine_sql('a.embedding', 'q.embedding')} AS score
+    FROM embeddings a
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY score DESC, a.vec_id
+    LIMIT {TOPK}
+"""
+
+
+@register(
+    "similarity_topk",
+    oracle=_TOPK_ORACLE,
+    doc=f"Brute-force cosine top-{TOPK} against the broadcast query vector (vec_id={QUERY_VEC_ID}).",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        to_double_array("embedding").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", to_double_array("embedding").alias("v"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine(F.col("v"), F.col("qv")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
+# -------------------------------------------------- hyperplane LSH
+
+def _planes_df(spark: SparkSession) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: w(i,d) in [-1, 1]."""
+    return spark.range(N_PLANES * N_DIMS).select(
+        (F.col("id") / N_DIMS).cast("long").alias("i"),
+        (F.col("id") % N_DIMS).cast("long").alias("d"),
+        ((md5_long60(F.concat_ws("_", (F.col("id") / N_DIMS).cast("long"), F.col("id") % N_DIMS)) % 2001) - 1000)
+        .cast("double")
+        .alias("w_raw"),
+    ).select("i", "d", (F.col("w_raw") / 1000.0).alias("w"))
+
+
+_PLANES_SQL = f"""
+        SELECT i, d,
+               (({md5_long60_sql("concat(CAST(i AS VARCHAR), '_', CAST(d AS VARCHAR))")} % 2001) - 1000) / 1000.0 AS w
+        FROM (SELECT unnest(range(0, {N_PLANES})) AS i) pi
+        CROSS JOIN (SELECT unnest(range(0, {N_DIMS})) AS d) pd
+"""
+
+_BUCKETS_SQL = f"""
+    planes AS ({_PLANES_SQL}),
+    comp AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), dots AS (
+        SELECT c.vec_id, p.i, round(sum(c.x * p.w), 6) AS dp
+        FROM comp c JOIN planes p ON c.d = p.d
+        GROUP BY c.vec_id, p.i
+    ), buckets AS (
+        SELECT vec_id,
+               sum(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id
+    )
+"""
+
+
+def lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane signature per vector."""
+    comp = emb.select(
+        "vec_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
+    ).select("vec_id", F.col("d").cast("long").alias("d"), "x")
+    planes = _planes_df(spark)
+    dots = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "i")
+        .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("dp"))
+    )
+    return dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dp") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+
+
+@register(
+    "lsh_bucket_assign",
+    oracle=f"WITH {_BUCKETS_SQL} SELECT vec_id, bucket FROM buckets",
+    doc=f"Random-hyperplane LSH bucketing: {N_PLANES} md5-derived planes -> one {N_PLANES}-bit bucket per vector.",
+)
+def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_buckets(spark, emb)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=f"""
+        WITH {_BUCKETS_SQL},
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+            SELECT b.vec_id FROM buckets b, qb
+            WHERE b.bucket = qb.bucket AND b.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT a.vec_id, {cosine_sql('a.embedding', 'q.embedding')} AS score
+        FROM embeddings a
+        JOIN cand USING (vec_id)
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        ORDER BY score DESC, a.vec_id
+        LIMIT {TOPK}
+    """,
+    doc=f"ANN top-{TOPK}: probe only the query vector's LSH bucket, then exact cosine within it.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(spark, emb)
+    qb = buckets.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("bucket").alias("qbucket"))
+    cand = (
+        buckets.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(to_double_array("embedding").alias("qv"))
+    return (
+        emb.join(cand, "vec_id")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
+# -------------------------------------------------------------- IVF
+
+_CENTROIDS_SQL = f"SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0"
+
+_ASSIGN_SQL = f"""
+    centroids AS ({_CENTROIDS_SQL}),
+    dists AS (
+        SELECT e.vec_id, c.cid, {l2sq_sql('e.embedding', 'c.cvec')} AS dist
+        FROM embeddings e CROSS JOIN centroids c
+    ), assign AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dists
+        ) t WHERE rn = 1
+    )
+"""
+
+
+def ivf_assignments(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist): nearest deterministic centroid per vector."""
+    cent = (
+        emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec"))
+    )
+    dists = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", l2sq(F.col("v"), F.col("cvec")).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "vec_id", "cid", "dist"
+    )
+
+
+@register(
+    "ivf_assign",
+    oracle=f"WITH {_ASSIGN_SQL} SELECT vec_id, cid, dist FROM assign",
+    doc=f"IVF coarse quantization: argmin-L2 assignment to deterministic centroids (vec_id % {IVF_CENTROID_MOD} = 0).",
+)
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assignments(spark, emb)
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+        WITH {_ASSIGN_SQL},
+        qcell AS (SELECT cid FROM assign WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+            SELECT a.vec_id FROM assign a, qcell
+            WHERE a.cid = qcell.cid AND a.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT e.vec_id, {cosine_sql('e.embedding', 'q.embedding')} AS score
+        FROM embeddings e
+        JOIN cand USING (vec_id)
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        ORDER BY score DESC, e.vec_id
+        LIMIT {TOPK}
+    """,
+    doc=f"ANN top-{TOPK} probing only the query's IVF cell, exact cosine within.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(spark, emb)
+    qcell = assign.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("cid").alias("qcid"))
+    cand = (
+        assign.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(to_double_array("embedding").alias("qv"))
+    return (
+        emb.join(cand, "vec_id")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )

@@ -1,0 +1,185 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2c).
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting — each as a pure built-in-function DataFrame
+transform with an exact DuckDB oracle. No Python in the hot path: at
+100 TB these run entirely inside whole-stage codegen; the only shuffle
+is the final per-language aggregate (5 groups -> trivially small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_etl_spark.functions.textfns import (
+    alpha_ratio,
+    alpha_ratio_sql,
+    token_count,
+    token_count_sql,
+    tokens,
+    tokens_sql,
+)
+from rust_etl_spark.plans.catalog import register
+from rust_etl_spark.sources import load_table
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language-ID. Deliberately minimal — the operator's value is the
+#: scalable argmax-over-evidence pattern, not lexicon quality.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+#: CASE-chain priority: ties resolve to the earlier language.
+LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """# tokens (with multiplicity) found in ``words``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def stopword_hits_sql(toks_expr: str, words: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({toks_expr}, t -> t IN ({lits}))) AS BIGINT)"
+
+
+def predict_lang(toks: Column) -> Column:
+    """Argmax of stopword evidence with fixed tie-break order."""
+    hits = {lang: stopword_hits(toks, STOPWORDS[lang]) for lang in LANG_ORDER}
+    pred = F.lit(LANG_ORDER[0])
+    expr = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            # strictly-greater for later langs, >= for earlier => stable argmax
+            c = hits[lang] >= hits[other] if LANG_ORDER.index(other) > LANG_ORDER.index(lang) else hits[lang] > hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(pred)
+
+
+def predict_lang_sql(toks_expr: str) -> str:
+    hit = {lang: stopword_hits_sql(toks_expr, STOPWORDS[lang]) for lang in LANG_ORDER}
+    whens = []
+    for lang in LANG_ORDER:
+        conds = []
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">=" if LANG_ORDER.index(other) > LANG_ORDER.index(lang) else ">"
+            conds.append(f"({hit[lang]}) {op} ({hit[other]})")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"CASE {' '.join(whens)} ELSE '{LANG_ORDER[0]}' END"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               round(avg({token_count_sql('text')}), 2) AS avg_tokens,
+               round(avg({alpha_ratio_sql('text')}), 4) AS avg_alpha
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Per-language corpus statistics (count / avg chars / avg tokens / avg alpha-ratio).",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
+            F.round(F.avg(alpha_ratio("text")), 4).alias("avg_alpha"),
+        )
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+        SELECT doc_id,
+               {token_count_sql('text')} AS n_tokens,
+               CAST(len(list_distinct({tokens_sql('text')})) AS BIGINT) AS n_distinct,
+               CAST(length(text) AS BIGINT) AS n_chars_obs
+        FROM documents
+    """,
+    doc="Per-document token counting (whitespace tokenizer): total, distinct, chars.",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        SELECT doc_id, lang AS lang_label,
+               {predict_lang_sql(tokens_sql('text'))} AS lang_pred
+        FROM documents
+    """,
+    doc="Stopword-evidence language ID with deterministic argmax tie-break.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        predict_lang(tokens("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               round(  0.4 * least({token_count_sql('text')} / 100.0, 1.0)
+                     + 0.3 * ({stopword_hits_sql(tokens_sql('text'), STOPWORDS['en'])}
+                              / greatest({token_count_sql('text')}, 1))
+                     + 0.3 * ({alpha_ratio_sql('text')}), 4) AS quality
+        FROM documents
+    """,
+    doc="Composite quality score: length saturation + stopword ratio + alpha ratio.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = token_count("text")
+    score = (
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (stopword_hits(toks, STOPWORDS["en"]) / F.greatest(n_tok, F.lit(1)))
+        + 0.3 * alpha_ratio("text")
+    )
+    return docs.select("doc_id", F.round(score, 4).alias("quality"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               md5(array_to_string({tokens_sql('text')}, ' ')) AS fingerprint
+        FROM documents
+    """,
+    doc="Canonical content fingerprint: md5 over the normalized token stream.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", tokens("text"))).alias("fingerprint"),
+    )
