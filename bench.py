@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop sink (full plan executes,
+nothing is collected to the driver). One tiny warm-up query first so
+JVM/codegen startup is not billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rust_etl_spark.plans import catalog
+from rust_etl_spark.session import get_spark
+from rust_etl_spark.sources import load_table
+
+HEADLINE = [
+    "groupby_agg",
+    "agg_filter_sum",
+    "join_star",
+    "window_rank",
+    "sort_topk",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "struct_unnest",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("rust_etl_spark-bench")
+
+    # Warm-up: tiny scan exercises session + parquet reader + codegen.
+    load_table(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = catalog.get(name)
+        t0 = time.perf_counter()
+        _force(q.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

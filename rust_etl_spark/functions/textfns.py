@@ -43,7 +43,14 @@ def token_count_sql(expr: str) -> str:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """n-token shingles ('a b c') of a token array; [] when < n tokens."""
+    """n-token shingles ('a b c') of a token array; [] when < n tokens.
+
+    PERF: pass a *materialized column reference* (select the token
+    array into a column first), never the raw ``tokens(text)``
+    expression — Catalyst re-evaluates the full tokenizer inside every
+    ``element_at`` lambda call otherwise (no CSE across lambdas),
+    which showed up as a 20x slowdown at sf0.1.
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])

@@ -47,6 +47,23 @@ from rust_etl_spark.functions.vectors import cosine, cosine_sql, to_double_array
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
 
+def _expand_pairs(members: str, a: str = "doc_a", b: str = "doc_b"):
+    """All ordered pairs (x < y) from a sorted id-array column — in-row
+    expansion, so candidate generation never self-joins (and never
+    recomputes the upstream pipeline for a second join side)."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                members,
+                lambda x, i: F.transform(
+                    F.slice(F.col(members), i + 2, F.size(members)),
+                    lambda y: F.struct(x.alias(a), y.alias(b)),
+                ),
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 @register(
@@ -98,36 +115,56 @@ def _mh_b(i):
     return 12_345 + 7_919 * i
 
 
-def minhash_signatures(spark: SparkSession, docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, i, mh): the k-row MinHash signature of each doc's
-    distinct-token set, via universal hashing of md5-hashed tokens."""
-    tok = docs.select("doc_id", F.explode(distinct_tokens("text")).alias("tok"))
-    tok = tok.withColumn("th", md5_long60("tok"))
-    params = spark.range(k).select(F.col("id").cast("long").alias("i"))
-    hashed = tok.crossJoin(F.broadcast(params)).select(
-        "doc_id",
-        "i",
-        universal_hash(F.col("th"), 1 + 2 * F.col("i"), 12_345 + 7_919 * F.col("i")).alias("uh"),
-    )
-    return hashed.groupBy("doc_id", "i").agg(F.min("uh").alias("mh"))
+def minhash_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): MinHash signature of each doc's
+    distinct-token set — ONE map-side projection, zero shuffles.
+
+    Per row: token array -> md5-hash array -> k array_min folds of the
+    universal-hash family. At any scale this is embarrassingly
+    parallel; the first shuffle in any MinHash pipeline is the
+    downstream bucket groupBy. Docs with no tokens are dropped
+    (mirrors the explode semantics of the SQL oracle).
+    """
+    toks = docs.select("doc_id", distinct_tokens("text").alias("t")).filter(F.size("t") > 0)
+    th = toks.select("doc_id", F.transform("t", md5_long60).alias("th"))
+
+    def uh(i: int):
+        # MUST be a 1-arg lambda: a 2-arg lambda (even via default args)
+        # makes F.transform pass the element *index* as the 2nd arg.
+        return lambda h: universal_hash(h, 1 + 2 * i, 12_345 + 7_919 * i)
+
+    cols = [F.array_min(F.transform("th", uh(i))).alias(f"mh_{i}") for i in range(k)]
+    return th.select("doc_id", *cols)
 
 
-def minhash_bands(sig: DataFrame, band_rows: int = MINHASH_BAND_ROWS) -> DataFrame:
-    """(doc_id, band, sig): banded signature strings, i-ordered."""
-    banded = sig.withColumn("band", F.floor(F.col("i") / band_rows))
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("i", "mh"))).alias("parts"))
-        .select(
-            "doc_id",
-            "band",
-            F.concat_ws(",", F.transform("parts", lambda s: s["mh"].cast("string"))).alias("sig"),
+def minhash_bands(
+    wide: DataFrame, k: int = MINHASH_K, band_rows: int = MINHASH_BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band, sig): banded signature strings — pure projection
+    + explode over the wide signature, still no shuffle."""
+    structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"mh_{i}").cast("string") for i in range(b * band_rows, (b + 1) * band_rows)]
+            ).alias("sig"),
         )
+        for b in range(k // band_rows)
+    ]
+    return wide.select("doc_id", F.explode(F.array(*structs)).alias("bs")).select(
+        "doc_id", "bs.band", "bs.sig"
     )
 
 
-_MINHASH_ORACLE = f"""
-    WITH tok AS (
+#: LSH buckets larger than this are skipped during pair generation.
+#: Mega-buckets are exact-duplicate clusters (handled linearly by
+#: ``dedup_minhash_groups``); pairing inside them is O(bucket^2) and
+#: adds no information. This frequency cap is what keeps candidate
+#: generation near-linear at 100 TB.
+MINHASH_MAX_BUCKET = 64
+
+_MINHASH_CORE = f"""
+    tok AS (
         SELECT doc_id, unnest({distinct_tokens_sql('text')}) AS tok FROM documents
     ), h AS (
         SELECT doc_id, {md5_long60_sql('tok')} AS th FROM tok
@@ -137,34 +174,73 @@ _MINHASH_ORACLE = f"""
         SELECT doc_id, i,
                min({universal_hash_sql('th', '1 + 2 * i', '12345 + 7919 * i')}) AS mh
         FROM h CROSS JOIN params GROUP BY doc_id, i
-    ), band AS (
+    )
+"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_CORE}, band AS (
         SELECT doc_id, i // {MINHASH_BAND_ROWS} AS band,
                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
         FROM mh GROUP BY doc_id, i // {MINHASH_BAND_ROWS}
+    ), capped AS (
+        SELECT doc_id, band, sig FROM (
+            SELECT doc_id, band, sig,
+                   count(*) OVER (PARTITION BY band, sig) AS bucket_n
+            FROM band
+        ) t WHERE bucket_n <= {MINHASH_MAX_BUCKET}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
 
 
 @register(
     "dedup_minhash_lsh",
     oracle=_MINHASH_ORACLE,
-    doc=f"MinHash({MINHASH_K})+LSH({MINHASH_BAND_ROWS}-row bands) near-dup candidate pairs.",
+    doc=f"MinHash({MINHASH_K})+LSH({MINHASH_BAND_ROWS}-row bands) near-dup candidate pairs, "
+    f"bucket-capped at {MINHASH_MAX_BUCKET} (mega-buckets go to dedup_minhash_groups).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_bands(minhash_signatures(spark, docs))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    bands = minhash_bands(minhash_wide(docs))
+    # One aggregation per bucket, then in-bucket pair expansion — NOT a
+    # self-join: a self-join would recompute the whole signature
+    # pipeline per side (no plan reuse), and the bucket cap already
+    # bounds each member list to MINHASH_MAX_BUCKET.
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= MINHASH_MAX_BUCKET))
+    )
+    pairs = buckets.select(_expand_pairs("members").alias("p"))
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+@register(
+    "dedup_minhash_groups",
+    oracle=f"""
+        WITH {_MINHASH_CORE}, sig AS (
+            SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY signature) AS keeper,
+               count(*) OVER (PARTITION BY signature) AS n_members
+        FROM sig
+    """,
+    doc="Linear near-dup clustering: group docs by FULL MinHash signature; "
+    "keeper = min doc_id per cluster. The scale path for mega-duplicate groups.",
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_wide(docs).select(
+        "doc_id",
+        F.concat_ws(",", *[F.col(f"mh_{i}").cast("string") for i in range(MINHASH_K)]).alias("signature"),
+    )
+    w = Window.partitionBy("signature")
+    return sig.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keeper"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
     )
 
 
@@ -172,12 +248,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.2
+#: Shingles appearing in more documents than this are dropped before
+#: the posting-list self-join: a shingle with df=d generates d^2/2 join
+#: rows while contributing almost no discrimination. The df-cap bounds
+#: join fan-out (the classic inverted-index optimization — similarity
+#: is then Jaccard over the *discriminative* shingle universe).
+JACCARD_DF_CAP = 64
 
 _SHINGLES_SQL = f"list_distinct({word_shingles_sql(tokens_sql('text'), JACCARD_SHINGLE_N)})"
 
 _JACCARD_ORACLE = f"""
-    WITH sh AS (
+    WITH sh_all AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+    ), sh AS (
+        SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh_all
+        ) t WHERE df <= {JACCARD_DF_CAP}
     ), sizes AS (
         SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -197,19 +283,33 @@ _JACCARD_ORACLE = f"""
 @register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
-    doc=f"Exact {JACCARD_SHINGLE_N}-gram Jaccard pairs >= {JACCARD_THRESHOLD} via inverted-index self-join.",
+    doc=f"{JACCARD_SHINGLE_N}-gram Jaccard pairs >= {JACCARD_THRESHOLD} via inverted-index "
+    f"self-join over discriminative shingles (df <= {JACCARD_DF_CAP}).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    # Materialize the token array before shingling (see word_shingles PERF note).
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    sh_all = toks.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens("text"), JACCARD_SHINGLE_N))).alias("sh"),
+        F.explode(F.array_distinct(word_shingles(F.col("t"), JACCARD_SHINGLE_N))).alias("sh"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Inverted index: one shuffle on shingle builds the posting lists;
+    # the df-cap bounds every list, pairs expand in-row (no self-join).
+    postings = (
+        sh_all.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= JACCARD_DF_CAP)
+    )
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.filter(F.size("ds") >= 2)
+        .select(_expand_pairs("ds").alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -251,28 +351,26 @@ _SIMHASH_ORACLE = f"""
     doc=f"{SIMHASH_BITS}-bit SimHash signature per document (near-dups collide).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-side only: per row, fold the md5-hash array once per bit —
+    # no explode, no shuffle anywhere in the whole plan.
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(distinct_tokens("text")).alias("tok"))
-    tok = tok.withColumn("th", md5_long60("tok"))
-    bits = spark.range(SIMHASH_BITS).select(
-        F.col("id").cast("long").alias("j"),
-        F.pow(F.lit(2.0), F.col("id")).cast("long").alias("p"),  # exact for j <= 31
-    )
-    contrib = (
-        tok.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "j",
-            "p",
-            F.when((F.expr(f"th div p") % 2) == 1, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
-        )
-        .groupBy("doc_id", "j", "p")
-        .agg(F.sum("s").alias("c"))
-    )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("c") > 0, F.col("p")).otherwise(F.lit(0))).alias("simhash"))
-    )
+    toks = docs.select("doc_id", distinct_tokens("text").alias("t")).filter(F.size("t") > 0)
+    th = toks.select("doc_id", F.transform("t", md5_long60).alias("th"))
+    def bit_contrib(j: int):
+        # strictly 2-arg (acc, h) — see the arity note in minhash_wide.
+        # shiftright keeps the division exact in 64-bit integers
+        # (double division would lose low bits of the 60-bit hash).
+        return lambda acc, h: acc + F.when((F.shiftright(h, j) % 2) == 1, 1).otherwise(-1)
+
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        p = 1 << j
+        contrib = F.aggregate("th", F.lit(0).cast("long"), bit_contrib(j))
+        bit_terms.append(F.when(contrib > 0, F.lit(p).cast("long")).otherwise(F.lit(0).cast("long")))
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash + t
+    return th.select("doc_id", simhash.alias("simhash"))
 
 
 # ------------------------------------------- embedding cosine near-dup

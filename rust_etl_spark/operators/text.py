@@ -47,9 +47,13 @@ def stopword_hits_sql(toks_expr: str, words: tuple[str, ...]) -> str:
     return f"CAST(len(list_filter({toks_expr}, t -> t IN ({lits}))) AS BIGINT)"
 
 
-def predict_lang(toks: Column) -> Column:
-    """Argmax of stopword evidence with fixed tie-break order."""
-    hits = {lang: stopword_hits(toks, STOPWORDS[lang]) for lang in LANG_ORDER}
+def argmax_lang(hits: dict[str, Column]) -> Column:
+    """Argmax over per-language evidence columns, fixed tie-break order.
+
+    PERF: pass *materialized columns* (select the hit counts first) —
+    inlined hit expressions get re-evaluated for every comparison in
+    the CASE chain (~40x per row).
+    """
     pred = F.lit(LANG_ORDER[0])
     expr = None
     for lang in LANG_ORDER:
@@ -62,6 +66,11 @@ def predict_lang(toks: Column) -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return expr.otherwise(pred)
+
+
+def predict_lang(toks: Column) -> Column:
+    """Argmax of stopword evidence over a token-array column."""
+    return argmax_lang({lang: stopword_hits(toks, STOPWORDS[lang]) for lang in LANG_ORDER})
 
 
 def predict_lang_sql(toks_expr: str) -> str:
@@ -93,13 +102,21 @@ def predict_lang_sql(toks_expr: str) -> str:
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Materialize per-row features once, then aggregate (keeps the
+    # tokenizer single-evaluation per row).
+    feat = docs.select(
+        "lang",
+        "n_chars",
+        token_count("text").alias("n_tok"),
+        alpha_ratio("text").alias("alpha"),
+    )
     return (
-        docs.groupBy("lang")
+        feat.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
-            F.round(F.avg(alpha_ratio("text")), 4).alias("avg_alpha"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.round(F.avg("alpha"), 4).alias("avg_alpha"),
         )
     )
 
@@ -117,12 +134,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    return docs.select(
+    toks = docs.select("doc_id", F.length("text").cast("long").alias("n_chars_obs"), tokens("text").alias("t"))
+    return toks.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.length("text").cast("long").alias("n_chars_obs"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        "n_chars_obs",
     )
 
 
@@ -137,10 +154,16 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toks = docs.select("doc_id", F.col("lang").alias("lang_label"), tokens("text").alias("t"))
+    hits = toks.select(
         "doc_id",
-        F.col("lang").alias("lang_label"),
-        predict_lang(tokens("text")).alias("lang_pred"),
+        "lang_label",
+        *[stopword_hits(F.col("t"), STOPWORDS[lang]).alias(f"h_{lang}") for lang in LANG_ORDER],
+    )
+    return hits.select(
+        "doc_id",
+        "lang_label",
+        argmax_lang({lang: F.col(f"h_{lang}") for lang in LANG_ORDER}).alias("lang_pred"),
     )
 
 
@@ -158,14 +181,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_tok = token_count("text")
+    base = docs.select("doc_id", alpha_ratio("text").alias("alpha"), tokens("text").alias("t"))
+    n_tok = F.size("t").cast("long")
     score = (
         0.4 * F.least(n_tok / 100.0, F.lit(1.0))
-        + 0.3 * (stopword_hits(toks, STOPWORDS["en"]) / F.greatest(n_tok, F.lit(1)))
-        + 0.3 * alpha_ratio("text")
+        + 0.3 * (stopword_hits(F.col("t"), STOPWORDS["en"]) / F.greatest(n_tok, F.lit(1)))
+        + 0.3 * F.col("alpha")
     )
-    return docs.select("doc_id", F.round(score, 4).alias("quality"))
+    return base.select("doc_id", F.round(score, 4).alias("quality"))
 
 
 @register(
@@ -179,7 +202,5 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", tokens("text"))).alias("fingerprint"),
-    )
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return toks.select("doc_id", F.md5(F.concat_ws(" ", "t")).alias("fingerprint"))
