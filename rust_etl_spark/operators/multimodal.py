@@ -1,0 +1,100 @@
+"""Multimodal column support (SURVEY.md §2c): opaque binary payloads
+with typed metadata, plus the Spark-side plumbing for decode /
+feature-extraction UDFs.
+
+The container has no image/audio libraries, so the *decode* step is an
+explicit stub (``decode_image`` raises NotImplementedError); everything
+around it — BinaryType columns, metadata structs, Arrow batch shapes,
+``mapInPandas`` partition flow — is real and tested. Swapping the stub
+for PIL/librosa is a one-function change.
+
+Scale notes: binary payloads ride ordinary BinaryType columns, so
+partitioning/shuffle/parquet encoding all apply unchanged; feature
+extraction is ``mapInPandas`` over Arrow batches (one Python roundtrip
+per batch, not per row), and the output schema is fixed up front so
+Catalyst can prune/push around the UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_etl_spark.plans.catalog import register
+from rust_etl_spark.sources import load_table
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column + typed metadata struct —
+    the multimodal column pattern (payload stays a black box, metadata
+    is queryable)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("digest"),
+            F.lit("text/plain;charset=utf-8").alias("mime"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """REAL decode stub: the container ships no imaging libraries.
+
+    Replace with e.g. PIL.Image.open(io.BytesIO(payload)) in a full
+    deployment; every caller goes through extract_features' batch path.
+    """
+    raise NotImplementedError("image/audio decode requires codec libraries not present in this environment")
+
+
+_FEATURE_SCHEMA = "doc_id long, n_bytes long, mean_byte double, head_hex string"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Deterministic per-payload features via mapInPandas (Arrow
+    batches). Stands in for decode+embed; the batch shape, schema and
+    partition flow are exactly what a real extractor uses."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "mean_byte": payloads.map(lambda b: float(sum(b[:64])) / max(min(len(b), 64), 1)),
+                    "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(per_batch, schema=_FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+    """,
+    doc="Binary payload + typed metadata struct over documents; metadata projected relationally.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = attach_binary_payload(docs)
+    return enriched.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.digest").alias("digest"))
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas feature extraction: rows-only driver check; pytest pins values
+    doc="Arrow-batched feature extraction over binary payloads (mapInPandas); decode itself is stubbed.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs))

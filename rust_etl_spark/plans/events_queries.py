@@ -1,0 +1,171 @@
+"""Event-time queries over the stream-shaped ``events`` table:
+tumbling-window aggregation, gap sessionization, as-of join, range
+join. Batch forms of the streaming surface (streaming/events.py runs
+the same window agg unbounded with a watermark).
+
+Cross-engine determinism: all event-time arithmetic is integer
+nanos/micros (``ts_ns``/``epoch_us``), never float; window starts are
+compared as epoch-micros BIGINTs; every window/sort carries an
+``event_id`` tie-break.
+
+Scale notes:
+- the window agg is a single shuffle keyed (window, type) with
+  map-side partial aggregation;
+- sessionization shuffles once on user_id; state per user is one lag
+  value — the streaming analogue is ``session_window`` or
+  applyInPandasWithState;
+- the as-of join is the union-then-window pattern: one shuffle on the
+  join key, no per-row probing, skew handled by AQE — this is the
+  shape that survives 100 TB (a broadcast-probe as-of would not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rust_etl_spark.plans.catalog import register
+from rust_etl_spark.sources import load_table
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
+
+
+def ntz_epoch_us(col: str):
+    """Epoch micros of a TIMESTAMP_NTZ column, independent of session
+    time zone (``unix_micros`` only accepts LTZ; an NTZ->LTZ cast
+    would shift by the driver session's zone)."""
+    return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+
+
+@register(
+    "events_window_agg",
+    oracle="""
+        SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_us,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling 5-minute window aggregate over event time (batch form of the streaming agg).",
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros("w.start").alias("w_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
+                   lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ns
+            FROM events
+        ), marked AS (
+            SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > {SESSION_GAP_NS}
+                           THEN 1 ELSE 0 END AS is_new
+            FROM t
+        ), numbered AS (
+            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, session_seq,
+               min(ts_ns) // 1000 AS session_start_us,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM numbered GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag + cumulative-sum session ids, one shuffle on user_id.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts_ns")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    marked = ev.withColumn("prev_ns", F.lag("ts_ns").over(w)).withColumn(
+        "is_new",
+        F.when(F.col("prev_ns").isNull() | (F.col("ts_ns") - F.col("prev_ns") > SESSION_GAP_NS), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.expr("min(ts_ns) div 1000").alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+        SELECT e.event_id, e.user_id,
+               (SELECT max(epoch_us(o.o_orderdate)) FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)) AS last_order_us
+        FROM events e
+    """,
+    doc="As-of join (latest order at-or-before each event, per user) via the union-then-window "
+    "pattern: one shuffle on the key, no per-row probe; DuckDB oracle uses a correlated max.",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("t_us"), "event_id", F.lit(0).alias("is_order")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        ntz_epoch_us("o_orderdate").alias("t_us"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_order"),
+    )
+    # Order rows sort before event rows at equal t_us => '<=' semantics.
+    both = orders.unionByName(ev)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us"), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = both.withColumn(
+        "last_order_us", F.max(F.when(F.col("is_order") == 1, F.col("t_us"))).over(w)
+    )
+    return enriched.filter(F.col("is_order") == 0).select("event_id", "user_id", "last_order_us")
+
+
+@register(
+    "events_range_join",
+    oracle="""
+        SELECT o.o_orderkey, count(*) AS n_events
+        FROM orders o JOIN events e
+          ON e.user_id = o.o_custkey
+         AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+         AND epoch_us(e.ts) <  epoch_us(o.o_orderdate) + 7 * 24 * 3600 * CAST(1000000 AS BIGINT)
+        GROUP BY o.o_orderkey
+    """,
+    doc="Range join: events within 7 days after each order of the same user (equi-key + range predicate).",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.expr("ts_ns div 1000").alias("e_us")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), ntz_epoch_us("o_orderdate").alias("o_us")
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    return (
+        orders.join(ev, "user_id")
+        .filter((F.col("e_us") >= F.col("o_us")) & (F.col("e_us") < F.col("o_us") + week_us))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

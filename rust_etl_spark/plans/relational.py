@@ -281,6 +281,73 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot on order status (explicit value list keeps the plan one pass, no distinct-scan).",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Hierarchical subtotal rollup over (status, priority).",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Full cube over (status, priority).",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
     "groupby_having",
     oracle="""
         SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty

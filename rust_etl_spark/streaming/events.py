@@ -1,0 +1,72 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no stream processing (SURVEY.md §2b — its
+"streaming" is constant-memory IO), so this module is part of the
+engine's extension surface: the same windowed aggregation runs as a
+batch plan (oracle-verifiable, registered in plans/) and as a
+Structured Streaming query with watermarked event time.
+
+Scale notes: the streaming agg keys on (window, event_type) — state
+size is bounded by (#windows in watermark horizon x #types); the
+watermark expires state, so unbounded input never grows memory. The
+file source here is a stand-in for Kafka: swap ``readStream.format``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_etl_spark.sources import load_table
+
+WINDOW = "5 minutes"
+WATERMARK = "10 minutes"
+
+
+def windowed_counts_batch(events: DataFrame) -> DataFrame:
+    """Tumbling-window counts/sums per event_type (batch form)."""
+    return (
+        events.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_stream_once(spark: SparkSession, sf_dir: str, events_path: str) -> DataFrame:
+    """Drive the streaming agg over a bounded file source to
+    completion (memory sink) and return the result as a DataFrame —
+    the standard local smoke for a streaming plan."""
+    import shutil
+    import tempfile
+
+    # events.ts is parquet TIMESTAMP(NANOS) — see sources/tables.py.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a *directory* to watch.
+    watch_dir = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(events_path, watch_dir)
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch_dir)
+    if "bigint" in schema["ts"].dataType.simpleString() or "long" in schema["ts"].dataType.simpleString():
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_windowed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql("SELECT * FROM events_windowed")

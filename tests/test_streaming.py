@@ -1,0 +1,26 @@
+"""Structured Streaming smoke: the windowed event aggregation must
+produce identical results streamed (file source, watermark, memory
+sink) and as the equivalent batch plan."""
+
+from __future__ import annotations
+
+import os
+
+from rust_etl_spark.sources import load_table
+from rust_etl_spark.streaming.events import run_stream_once, windowed_counts_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _key(rows):
+    return sorted((str(r["w_start"] if "w_start" in r.__fields__ else r["w_start_us"]), r["event_type"], r["n"], r["total_value"]) for r in rows)
+
+
+def test_stream_matches_batch(spark):
+    events_path = os.path.join(SF, "events.parquet")
+    streamed = run_stream_once(spark, SF, events_path)
+    batch = windowed_counts_batch(load_table(spark, SF, "events"))
+    s = sorted((str(r["w_start"]), r["event_type"], r["n"], r["total_value"]) for r in streamed.collect())
+    b = sorted((str(r["w_start"]), r["event_type"], r["n"], r["total_value"]) for r in batch.collect())
+    assert s == b
+    assert len(s) > 0
