@@ -1,0 +1,193 @@
+"""Scalar-function surface: strings, dates, math, conditionals,
+arrays, exact percentiles — the built-in function coverage an engine
+must expose (reference has only the cast chain, SURVEY.md §2b, so this
+is extension surface). All expressions stay inside whole-stage codegen
+and every query carries an exact DuckDB mirror.
+
+Determinism notes: transcendental results (ln/log10/sqrt/stddev) are
+rounded to 6 digits — libm implementations may differ in the last ulp;
+everything else is exact integer/string arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_etl_spark.plans.catalog import register
+from rust_etl_spark.sources import load_table
+
+
+@register(
+    "string_funcs",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name)                                   AS name_upper,
+               substring(p_name, 1, 10)                        AS name_prefix,
+               CAST(length(p_name) AS BIGINT)                  AS name_len,
+               regexp_replace(p_name, '[aeiou]', '', 'g')      AS name_novowels,
+               split_part(p_name, ' ', 1)                      AS first_word,
+               lpad(p_brand, 12, '*')                          AS brand_padded,
+               reverse(p_type)                                 AS type_rev,
+               concat(p_brand, ':', p_type)                    AS brand_type
+        FROM part
+    """,
+    doc="String function coverage: case, substring, length, regex, split, pad, reverse, concat.",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.reverse("p_type").alias("type_rev"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT)     AS y,
+               CAST(month(o_orderdate) AS INT)    AS m,
+               CAST(day(o_orderdate) AS INT)      AS d,
+               CAST(quarter(o_orderdate) AS INT)  AS q,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        FROM orders
+    """,
+    doc="Date/time function coverage: parts extraction, day difference, month arithmetic.",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.add_months(d, 3).alias("plus3m"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_extendedprice - 30000)                    AS dev,
+               CAST(ceil(l_quantity) AS BIGINT)                AS qty_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT)          AS price_floor,
+               round(sqrt(l_extendedprice), 6)                 AS price_sqrt,
+               round(ln(l_extendedprice + 1), 6)               AS price_ln,
+               round(log10(l_extendedprice + 1), 6)            AS price_log10,
+               round(power(l_discount + 1, 2), 6)              AS disc_sq,
+               sign(l_discount - 0.05)                         AS disc_sign,
+               l_orderkey % 7                                  AS key_mod
+        FROM lineitem
+    """,
+    doc="Math function coverage: abs/ceil/floor/sqrt/ln/log10/pow/sign/mod.",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000).alias("dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "conditional_null",
+    oracle="""
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), '(masked)') AS seg_masked,
+               CASE WHEN c_acctbal < 0 THEN 'debtor'
+                    WHEN c_acctbal < 5000 THEN 'regular'
+                    ELSE 'premium' END AS tier,
+               greatest(c_acctbal, 0.0) AS bal_clamped,
+               least(CAST(c_nationkey AS BIGINT), 10) AS nation_capped
+        FROM customer
+    """,
+    doc="Conditional/null semantics: nullif+coalesce masking, CASE tiers, greatest/least.",
+)
+def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(masked)")).alias("seg_masked"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "regular")
+        .otherwise("premium")
+        .alias("tier"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_clamped"),
+        F.least(F.col("c_nationkey").cast("long"), F.lit(10)).alias("nation_capped"),
+    )
+
+
+@register(
+    "percentile_stats",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(stddev_samp(o_totalprice), 4)        AS sd,
+               round(min(o_totalprice), 2)                AS lo,
+               round(max(o_totalprice), 2)                AS hi
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact linear-interpolation percentiles + dispersion per group.",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vmax,
+               CAST(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vmin,
+               CAST(embedding[1] AS DOUBLE) AS e1,
+               CAST(embedding[2] AS DOUBLE) AS e2,
+               CAST(embedding[3] AS DOUBLE) AS e3,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+        FROM embeddings
+    """,
+    doc="Array function coverage: size, min/max, element access, filter-count over embeddings. "
+    "(Scalar outputs only: array-valued result columns don't stringify identically across engines.)",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_max(dbl).alias("vmax"),
+        F.array_min(dbl).alias("vmin"),
+        F.element_at(dbl, 1).alias("e1"),
+        F.element_at(dbl, 2).alias("e2"),
+        F.element_at(dbl, 3).alias("e3"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )

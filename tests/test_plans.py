@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the physical plans the engine is
+designed around must not silently degrade (lost pushdown, broadcast
+falling back to shuffle join, global sort instead of top-k)."""
+
+from __future__ import annotations
+
+from rust_etl_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = catalog.get(name).fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_projection_prunes_columns(spark):
+    plan = _formatted_plan(spark, "scan_project")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint" in plan
+    assert "l_shipdate" not in plan  # untouched column never read
+
+
+def test_filters_push_to_scan(spark):
+    plan = _formatted_plan(spark, "filter_predicate")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_flagship_agg_is_two_phase_with_pushdown(spark):
+    plan = _formatted_plan(spark, "groupby_agg")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _formatted_plan(spark, "join_star")
+    # each node appears twice in formatted output (tree + detail)
+    assert plan.count("BroadcastHashJoin") == 8
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed below the join
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _formatted_plan(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_minhash_signatures_have_no_shuffle(spark):
+    """The wide MinHash signature is one map-side projection — a Sort
+    or Exchange before the bucket groupBy means a regression."""
+    from rust_etl_spark.operators.dedup import minhash_wide
+    from rust_etl_spark.sources import load_table
+
+    df = minhash_wide(load_table(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
