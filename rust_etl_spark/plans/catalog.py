@@ -67,7 +67,13 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Imports are for their @register side effects.
-    from rust_etl_spark.plans import etl_parity, events_queries, functions_queries, relational  # noqa: F401
+    from rust_etl_spark.plans import (  # noqa: F401
+        etl_parity,
+        events_queries,
+        functions_queries,
+        relational,
+        tpch_shapes,
+    )
     from rust_etl_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
 
     _LOADED = True
