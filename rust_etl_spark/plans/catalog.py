@@ -74,6 +74,6 @@ def _ensure_loaded() -> None:
         relational,
         tpch_shapes,
     )
-    from rust_etl_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+    from rust_etl_spark.operators import dedup, grouped, multimodal, similarity, text  # noqa: F401
 
     _LOADED = True
