@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         return
     # Imports are for their @register side effects.
     from rust_etl_spark.plans import (  # noqa: F401
+        advanced_agg,
         etl_parity,
         events_queries,
         functions_queries,

@@ -37,6 +37,39 @@ def windowed_counts_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def run_stream_dedup_once(spark: SparkSession, events_path: str) -> int:
+    """Streaming exact dedup: the same events file delivered twice
+    (two micro-batches of duplicates) must come out once.
+
+    ``withWatermark + dropDuplicates([key, ts])`` is the streaming
+    form of exact dedup — state holds one entry per key inside the
+    watermark horizon and expires beyond it, so unbounded duplicate
+    streams run in bounded memory. Returns the deduplicated count.
+    """
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    watch_dir = tempfile.mkdtemp(prefix="events_dedup_")
+    shutil.copy(events_path, f"{watch_dir}/a.parquet")
+    shutil.copy(events_path, f"{watch_dir}/b.parquet")  # exact duplicates
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch_dir)
+    stream = stream.withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = stream.withWatermark("ts_event", WATERMARK).dropDuplicates(["event_id", "ts_event"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_deduped")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql("SELECT count(*) AS n FROM events_deduped").collect()[0]["n"]
+
+
 def run_stream_once(spark: SparkSession, sf_dir: str, events_path: str) -> DataFrame:
     """Drive the streaming agg over a bounded file source to
     completion (memory sink) and return the result as a DataFrame —

@@ -7,9 +7,19 @@ from __future__ import annotations
 import os
 
 from rust_etl_spark.sources import load_table
-from rust_etl_spark.streaming.events import run_stream_once, windowed_counts_batch
+from rust_etl_spark.streaming.events import (
+    run_stream_dedup_once,
+    run_stream_once,
+    windowed_counts_batch,
+)
 
 SF = "/root/testdata/sf0.001"
+
+
+def test_stream_dedup_removes_replayed_batch(spark):
+    n = run_stream_dedup_once(spark, f"{SF}/events.parquet")
+    expect = load_table(spark, SF, "events").count()
+    assert n == expect  # the duplicated delivery collapsed to one copy
 
 
 def _key(rows):
