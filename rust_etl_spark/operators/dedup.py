@@ -375,7 +375,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- embedding cosine near-dup
 
-COSINE_NEARDUP_TAU = 0.8
+COSINE_NEARDUP_TAU = 0.4
 
 _COSINE_PAIRS_ORACLE = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

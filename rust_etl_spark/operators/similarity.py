@@ -173,6 +173,60 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_NEARDUP_TAU = 0.4
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+        WITH {_BUCKETS_SQL},
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT p.vec_a, p.vec_b,
+               {cosine_sql('ea.embedding', 'eb.embedding')} AS score
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.vec_a
+        JOIN embeddings eb ON eb.vec_id = p.vec_b
+        WHERE {cosine_sql('ea.embedding', 'eb.embedding')} >= {EMB_NEARDUP_TAU}
+    """,
+    doc=f"Embedding near-dup pairs (cosine >= {EMB_NEARDUP_TAU}) generated ONLY within LSH "
+    "buckets — the scale path: candidate count shrinks ~2^planes vs the brute-force form "
+    "(dedup_embedding_cosine), trading recall for near-linear cost.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(spark, emb)
+    bucket_groups = (
+        buckets.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = bucket_groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.vec_a", "p.vec_b")
+    va = emb.select(F.col("vec_id").alias("vec_a"), to_double_array("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), to_double_array("embedding").alias("vb"))
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= EMB_NEARDUP_TAU)
+    )
+
+
 # -------------------------------------------------------------- IVF
 
 _CENTROIDS_SQL = f"SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0"

@@ -146,26 +146,27 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_range_join",
     oracle="""
-        SELECT o.o_orderkey, count(*) AS n_events
-        FROM orders o JOIN events e
-          ON e.user_id = o.o_custkey
-         AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
-         AND epoch_us(e.ts) <  epoch_us(o.o_orderdate) + 7 * 24 * 3600 * CAST(1000000 AS BIGINT)
-        GROUP BY o.o_orderkey
+        SELECT s.event_id AS signup_id, count(*) AS n_follow
+        FROM events s JOIN events e
+          ON e.user_id = s.user_id
+         AND s.event_type = 'signup'
+         AND epoch_us(e.ts) >  epoch_us(s.ts)
+         AND epoch_us(e.ts) <= epoch_us(s.ts) + 24 * 3600 * CAST(1000000 AS BIGINT)
+        GROUP BY s.event_id
     """,
-    doc="Range join: events within 7 days after each order of the same user (equi-key + range predicate).",
+    doc="Range join: per signup event, follow-up events of the same user within 24h "
+    "(equi-key + range predicate; at scale, bucket the time axis to bound fan-out).",
 )
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id"), F.expr("ts_ns div 1000").alias("e_us")
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.expr("ts_ns div 1000").alias("e_us"))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.expr("ts_ns div 1000").alias("s_us")
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_custkey").alias("user_id"), ntz_epoch_us("o_orderdate").alias("o_us")
-    )
-    week_us = 7 * 24 * 3600 * 1_000_000
+    day_us = 24 * 3600 * 1_000_000
     return (
-        orders.join(ev, "user_id")
-        .filter((F.col("e_us") >= F.col("o_us")) & (F.col("e_us") < F.col("o_us") + week_us))
-        .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        signups.join(base, "user_id")
+        .filter((F.col("e_us") > F.col("s_us")) & (F.col("e_us") <= F.col("s_us") + day_us))
+        .groupBy("signup_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
     )

@@ -353,14 +353,14 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty
         FROM lineitem
         GROUP BY l_partkey
-        HAVING count(*) > 50
+        HAVING count(*) > 35
     """,
-    doc="Aggregate + post-aggregation HAVING filter.",
+    doc="Aggregate + post-aggregation HAVING filter (threshold sits inside the per-part count distribution).",
 )
 def groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
-        .filter(F.col("n_items") > 50)
+        .filter(F.col("n_items") > 35)
     )
