@@ -239,6 +239,51 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_except",
+    oracle="""
+        SELECT DISTINCT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT DISTINCT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="Set operation (EXCEPT): finished orders with no returned line items.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("orderkey"))
+        .distinct()
+    )
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("orderkey"))
+        .distinct()
+    )
+    return fo.exceptAll(ret).distinct()
+
+
+@register(
+    "sample_hash",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0
+    """,
+    doc="Deterministic ~10% sample via content hashing — unlike rand()-based df.sample, "
+    "hash sampling is reproducible across engines, retries, and scale-ups (the standard "
+    "pattern for stable train/eval splits).",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_etl_spark.functions.hashing import md5_long60
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(md5_long60(F.col("o_orderkey")) % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
     "join_semi_anti",
     oracle="""
         SELECT c_custkey, c_name FROM customer

@@ -58,6 +58,41 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source (needs the vendor driver jar on the classpath).
+
+    At scale ALWAYS pass ``partition_column`` + bounds: without them
+    Spark reads the whole table through one connection; with them the
+    scan fans out over ``num_partitions`` range-predicate queries.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise EngineError("read_jdbc: partition_column requires lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    try:
+        return reader.load()
+    except Exception as e:  # pragma: no cover - driver-jar dependent
+        raise EngineError(f"jdbc source failed (is the vendor driver on the classpath?): {e}") from e
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Avro needs the spark-avro package (not on this classpath)."""
     try:
