@@ -53,18 +53,23 @@ def main() -> None:
     # Warm-up: tiny scan exercises session + parquet reader + codegen.
     load_table(spark, sf_dir, "region").count()
 
+    # min-of-2 per query: first execution pays codegen/JIT, the min
+    # reflects steady-state throughput and damps environment noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = catalog.get(name)
-        t0 = time.perf_counter()
-        _force(q.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(q.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_min_of_2",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

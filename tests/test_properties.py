@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis): the codepoint decoder and the
+cross-engine hash must agree with independent Python reference
+implementations on arbitrary inputs — not just the fixture values."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rust_etl_spark.functions.hashing import HASH_P
+from tests.conftest import SF_SMOKE  # noqa: F401  (ensures conftest import)
+
+_SLOW = settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+
+
+def _decode_reference(arr):
+    """Independent reimplementation of the reference chain
+    (processor.rs:100-123): wrap to byte, assemble, lossy UTF-8."""
+    return bytes(int(x) & 0xFF for x in arr).decode("utf-8", "replace")
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SLOW
+def test_decode_matches_reference_semantics(spark, arrays):
+    from rust_etl_spark.operators.decode import decode_codepoint_arrays
+
+    rows = [(i, arr) for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(rows, "id long, codigo array<bigint>")
+    got = {r["id"]: r["codigo"] for r in decode_codepoint_arrays(df).collect()}
+    for i, arr in rows:
+        assert got[i] == _decode_reference(arr), f"row {i}: {arr!r}"
+
+
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=12, unique=True))
+@_SLOW
+def test_md5_long60_matches_python_hashlib(spark, tokens_list):
+    """The conv(md5-prefix) hash must equal int(md5hex[:15], 16) —
+    guards the Spark-side conv/substring chain against silent drift."""
+    import pyspark.sql.functions as F
+
+    from rust_etl_spark.functions.hashing import md5_long60
+
+    df = spark.createDataFrame([(t,) for t in tokens_list], "tok string")
+    got = {r["tok"]: r["h"] for r in df.select("tok", md5_long60(F.col("tok")).alias("h")).collect()}
+    for t in tokens_list:
+        expect = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        assert got[t] == expect, f"{t!r}"
+        assert 0 <= got[t] % HASH_P < HASH_P
