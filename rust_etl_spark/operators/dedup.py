@@ -356,20 +356,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", distinct_tokens("text").alias("t")).filter(F.size("t") > 0)
     th = toks.select("doc_id", F.transform("t", md5_long60).alias("th"))
-    def bit_contrib(j: int):
-        # strictly 2-arg (acc, h) — see the arity note in minhash_wide.
-        # shiftright keeps the division exact in 64-bit integers
-        # (double division would lose low bits of the 60-bit hash).
-        return lambda acc, h: acc + F.when((F.shiftright(h, j) % 2) == 1, 1).otherwise(-1)
-
-    bit_terms = []
-    for j in range(SIMHASH_BITS):
-        p = 1 << j
-        contrib = F.aggregate("th", F.lit(0).cast("long"), bit_contrib(j))
-        bit_terms.append(F.when(contrib > 0, F.lit(p).cast("long")).otherwise(F.lit(0).cast("long")))
-    simhash = bit_terms[0]
-    for t in bit_terms[1:]:
-        simhash = simhash + t
+    # ONE fold over the token-hash array: the accumulator is an array
+    # of 32 bit-counters updated via zip_with + bit_get (bit_get takes
+    # a Column position, unlike shiftright; double division would lose
+    # low bits of the 60-bit hash). The previous 32-separate-folds
+    # variant was ~5x slower: repeated array traversals + a giant
+    # codegen tree.
+    positions = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(SIMHASH_BITS)])
+    counts = F.aggregate(
+        "th",
+        zero,
+        lambda acc, h: F.zip_with(acc, positions, lambda a, j: a + F.bit_get(h, j) * 2 - 1),
+    )
+    simhash = F.aggregate(
+        F.zip_with(counts, pows, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return th.select("doc_id", simhash.alias("simhash"))
 
 
