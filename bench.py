@@ -38,6 +38,13 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "struct_unnest",
+    "events_window_agg",
+    "events_sessionize",
+    "events_asof_join",
+    "grouped_normalize",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "window_range_frame",
 ]
 
 
