@@ -109,6 +109,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, value, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+            FROM events
+        ), marked AS (
+            SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_NS // 1000}
+                           THEN 1 ELSE 0 END AS is_new
+            FROM t
+        ), numbered AS (
+            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                        ROWS UNBOUNDED PRECEDING) AS seq
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts_us) AS s_start_us,
+               max(ts_us) + {SESSION_GAP_NS // 1000} AS s_end_us,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM numbered GROUP BY user_id, seq
+    """,
+    doc="Native session_window(30 min gap) sessionization, cross-validated against the "
+    "lag/cumsum SQL formulation. Boundary semantics (probe-verified): Spark merges an "
+    "event at EXACTLY prev+gap into the session (inclusive), so the oracle splits only "
+    "on gap > 30min; window end = last event + gap.",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("s_start_us"),
+            F.unix_micros("w.end").alias("s_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "events_asof_join",
     oracle="""
         SELECT e.event_id, e.user_id,
