@@ -108,12 +108,6 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_K = 8          #: number of hash functions
 MINHASH_BAND_ROWS = 2  #: rows per band => 4 bands
 
-def _mh_a(i):  # odd multipliers
-    return 1 + 2 * i
-
-def _mh_b(i):
-    return 12_345 + 7_919 * i
-
 
 def minhash_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): MinHash signature of each doc's
