@@ -51,7 +51,13 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     ``element_at`` lambda call otherwise (no CSE across lambdas),
     which showed up as a 20x slowdown at sf0.1.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # Guard, don't clamp: sequence(1, 0) infers step -1 and yields [1, 0],
+    # whose element_at(toks, 0) then raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    # for any doc with < n tokens. Return [] like the SQL mirror's
+    # CASE WHEN len(t) < n branch.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )

@@ -334,7 +334,9 @@ _SIMHASH_ORACLE = f"""
         FROM h CROSS JOIN bits GROUP BY doc_id, j
     )
     SELECT doc_id,
-           sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+           -- CAST: sum(BIGINT) is HUGEINT in DuckDB -> float64 via fetchdf(),
+           -- which breaks the driver's value hash vs Spark's BIGINT.
+           CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
     FROM contrib GROUP BY doc_id
 """
 

@@ -101,7 +101,9 @@ _BUCKETS_SQL = f"""
         GROUP BY c.vec_id, p.i
     ), buckets AS (
         SELECT vec_id,
-               sum(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
+               -- CAST: sum(BIGINT) is HUGEINT in DuckDB -> float64 via
+               -- fetchdf(), breaking the value hash vs Spark's BIGINT.
+               CAST(sum(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bucket
         FROM dots GROUP BY vec_id
     )
 """

@@ -76,8 +76,10 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 ELSE 0 END AS is_new
             FROM t
         ), numbered AS (
-            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+            -- CAST: DuckDB sum(INT) yields HUGEINT, which fetchdf() surfaces
+            -- as float64 and breaks the driver's value hash vs Spark's BIGINT.
+            SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM marked
         )
         SELECT user_id, session_seq,

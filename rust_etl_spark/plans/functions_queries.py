@@ -87,7 +87,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(ln(l_extendedprice + 1), 6)               AS price_ln,
                round(log10(l_extendedprice + 1), 6)            AS price_log10,
                round(power(l_discount + 1, 2), 6)              AS disc_sq,
-               sign(l_discount - 0.05)                         AS disc_sign,
+               CAST(sign(l_discount - 0.05) AS BIGINT)         AS disc_sign,
                l_orderkey % 7                                  AS key_mod
         FROM lineitem
     """,
@@ -105,7 +105,9 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
         F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
         F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        # BIGINT on both sides: DuckDB sign() is TINYINT, Spark signum is
+        # DOUBLE (and can emit -0.0) — either difference flips the driver hash.
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
     )
 

@@ -13,6 +13,7 @@ import math
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from rust_etl_spark.sources.tables import TABLES
@@ -38,8 +39,27 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
+#: dtype.kind -> comparison class. The driver hashes raw values, so an
+#: int64-vs-float64 column pair hash-mismatches even when every value is
+#: numerically equal (round-1 failures: DuckDB HUGEINT sums -> float64 via
+#: fetchdf(), sign() TINYINT vs signum DOUBLE). The local gate must be at
+#: least as strict as that.
+_KIND_CLASS = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime", "O": "object"}
+
+
+def _kind(series: pd.Series) -> str:
+    return _KIND_CLASS.get(series.dtype.kind, series.dtype.kind)
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, float_tol: float = 0.0) -> list[str]:
-    """Return a list of mismatch descriptions; empty means match."""
+    """Return a list of mismatch descriptions; empty means match.
+
+    Strictness matches the driver's value-hash gate: same columns, same
+    row count, same *dtype class* per column (int vs float vs bool ...),
+    bit-identical zero signs, and equal values. The only tolerated dtype
+    difference is object-vs-datetime (dates arrive as python objects from
+    Spark and datetime64 from DuckDB; proven hash-equal in round 1).
+    """
     errs: list[str] = []
     s = spark_df.toPandas()
     o = oracle_pdf
@@ -47,6 +67,15 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, float_tol: float = 0.0) -> list[
         return [f"columns differ: spark={sorted(s.columns)} oracle={sorted(o.columns)}"]
     if len(s) != len(o):
         errs.append(f"row count differs: spark={len(s)} oracle={len(o)}")
+        return errs
+    for c in sorted(s.columns):
+        ka, kb = _kind(s[c]), _kind(o[c])
+        if ka != kb and {ka, kb} != {"object", "datetime"}:
+            errs.append(
+                f"column {c!r}: dtype class mismatch spark={s[c].dtype}({ka}) "
+                f"oracle={o[c].dtype}({kb}) — would flip the driver's value hash"
+            )
+    if errs:
         return errs
     cs, co = _canon(s), _canon(o)
     for c in cs.columns:
@@ -58,6 +87,12 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, float_tol: float = 0.0) -> list[
                 | (aa - bb).abs().le(float_tol)
                 | (aa == bb)
             )
+            # -0.0 vs 0.0 compares equal but hashes differently at the
+            # driver; treat a sign mismatch at zero as a failure.
+            zero_sign = (aa == 0.0) & (bb == 0.0) & (
+                np.signbit(aa.fillna(0.0).to_numpy()) != np.signbit(bb.fillna(0.0).to_numpy())
+            )
+            bad = bad | zero_sign
         else:
             bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
         n_bad = int(bad.sum())

@@ -1,0 +1,63 @@
+"""The local compare() must be at least as strict as the driver's value
+hash. Round 1 shipped three oracle bugs (DuckDB HUGEINT -> float64,
+sign() TINYINT vs signum DOUBLE) precisely because the old compare
+coerced dtypes before checking — these tests pin the failure class.
+
+Also pins the word_shingles short-document guard (ADVICE round 1): docs
+with fewer than n tokens must yield [] on both engines, not crash.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+
+from rust_etl_spark.functions.textfns import tokens, word_shingles, word_shingles_sql, tokens_sql
+from tests.oracle_harness import compare
+
+
+def test_compare_flags_int_vs_float_dtype(spark):
+    """Simulates the HUGEINT bug: equal values, int64 vs float64."""
+    sdf = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    oracle = pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]})  # v float64
+    errs = compare(sdf, oracle)
+    assert errs and "dtype class mismatch" in errs[0], errs
+
+
+def test_compare_flags_negative_zero(spark):
+    sdf = spark.createDataFrame([(1, -0.0)], "k long, v double")
+    oracle = pd.DataFrame({"k": [1], "v": [0.0]})
+    errs = compare(sdf, oracle)
+    assert errs, "signed zero mismatch must fail the strict compare"
+
+
+def test_compare_accepts_exact_match(spark):
+    sdf = spark.createDataFrame([(1, 1.5, "x")], "k long, v double, s string")
+    oracle = pd.DataFrame({"k": [1], "v": [1.5], "s": ["x"]})
+    assert compare(sdf, oracle) == []
+
+
+SHORT_DOCS = ["", "one", "one two", "one two three", "one  two\tthree four"]
+
+
+def test_word_shingles_short_docs_match_sql_mirror(spark):
+    """< n tokens => [] on BOTH engines (was: Spark crash via sequence(1,0))."""
+    n = 3
+    rows = [(i, t) for i, t in enumerate(SHORT_DOCS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles(tokens("text"), n).alias("sh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    sql = word_shingles_sql(tokens_sql("text"), n)
+    want = {r[0]: list(r[1]) for r in con.execute(f"SELECT doc_id, {sql} FROM d").fetchall()}
+    assert got == want
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert got[3] == ["one two three"]
+    assert got[4] == ["one two three", "two three four"]
