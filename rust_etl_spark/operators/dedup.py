@@ -281,6 +281,20 @@ _JACCARD_ORACLE = f"""
     f"self-join over discriminative shingles (df <= {JACCARD_DF_CAP}).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single linear dataflow — ONE scan of ``documents``.
+
+    The round-1 shape derived postings, then joined per-doc sizes back
+    onto the expanded pairs; Spark has no subplan reuse above
+    exchanges, so the postings pipeline (scan + tokenize + shingle +
+    shuffle) re-evaluated once per consumer (3x). Here every stage is
+    consumed exactly once: df-cap via a window on shingle, per-doc
+    discriminative-set size via a window on doc_id (carried alongside,
+    so no size join later), regroup by shingle, in-row pair expansion
+    with both sizes already attached, and one final pair aggregation.
+    Shuffle keys are shingle / doc_id / pair — all high-cardinality and
+    AQE-splittable at 100 TB; per-list width stays bounded by the
+    df-cap.
+    """
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the token array before shingling (see word_shingles PERF note).
     toks = docs.select("doc_id", tokens("text").alias("t"))
@@ -288,31 +302,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("t"), JACCARD_SHINGLE_N))).alias("sh"),
     )
-    # Inverted index: one shuffle on shingle builds the posting lists;
-    # the df-cap bounds every list, pairs expand in-row (no self-join).
-    postings = (
-        sh_all.groupBy("sh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") <= JACCARD_DF_CAP)
+    capped = sh_all.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).filter(F.col("df") <= JACCARD_DF_CAP)
+    sized = capped.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    members = (
+        sized.groupBy("sh")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
-    sizes = (
-        postings.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size("ms")),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            x["n"].alias("na"),
+                            y["doc_id"].alias("doc_b"),
+                            y["n"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
-    inter = (
-        postings.filter(F.size("ds") >= 2)
-        .select(_expand_pairs("ds").alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    inter = pairs.groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        inter.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

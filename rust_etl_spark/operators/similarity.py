@@ -21,11 +21,13 @@ ordering; ties in top-k break on vec_id.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rust_etl_spark.functions.hashing import md5_long60, md5_long60_sql
+from rust_etl_spark.functions.hashing import md5_long60_sql
 from rust_etl_spark.functions.vectors import cosine, cosine_sql, l2sq, l2sq_sql, to_double_array
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
@@ -71,15 +73,21 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- hyperplane LSH
 
-def _planes_df(spark: SparkSession) -> DataFrame:
-    """Deterministic pseudo-random hyperplanes: w(i,d) in [-1, 1]."""
-    return spark.range(N_PLANES * N_DIMS).select(
-        (F.col("id") / N_DIMS).cast("long").alias("i"),
-        (F.col("id") % N_DIMS).cast("long").alias("d"),
-        ((md5_long60(F.concat_ws("_", (F.col("id") / N_DIMS).cast("long"), F.col("id") % N_DIMS)) % 2001) - 1000)
-        .cast("double")
-        .alias("w_raw"),
-    ).select("i", "d", (F.col("w_raw") / 1000.0).alias("w"))
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: w(i, d) in [-1, 1].
+
+    Same md5 family as the SQL mirror (md5 of "i_d", first 15 hex
+    digits), evaluated driver-side: the whole codebook is
+    N_PLANES x N_DIMS floats (4 KiB), so it ships to executors as plan
+    literals — no plane table, no join, no shuffle.
+    """
+    return [
+        [
+            ((int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:15], 16) % 2001) - 1000) / 1000.0
+            for d in range(N_DIMS)
+        ]
+        for i in range(N_PLANES)
+    ]
 
 
 _PLANES_SQL = f"""
@@ -110,21 +118,46 @@ _BUCKETS_SQL = f"""
 
 
 def lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(vec_id, bucket): random-hyperplane signature per vector."""
-    comp = emb.select(
-        "vec_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
-    ).select("vec_id", F.col("d").cast("long").alias("d"), "x")
-    planes = _planes_df(spark)
-    dots = (
-        comp.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "i")
-        .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("dp"))
+    """(vec_id, bucket): random-hyperplane signature per vector.
+
+    Map-side only (same pattern as dedup_simhash): per row, one
+    zip_with + aggregate fold per plane against the literal codebook —
+    zero shuffles, whole plan inside codegen. The round-1 shape
+    (posexplode x 64 dims -> broadcast-join planes -> groupBy(vec_id,i)
+    -> groupBy(vec_id)) multiplied rows by N_DIMS and shuffled twice
+    for what is per-row arithmetic.
+
+    Dot products are rounded to 6 digits before the sign test, mirroring
+    the SQL oracle, so summation-order FP noise cannot flip a bit.
+    """
+    v = to_double_array("embedding")
+    planes = _plane_weights()
+    # ONE fold with an N_PLANES-wide accumulator (the dedup_simhash
+    # lesson: per-plane separate folds re-traverse the vector and blow
+    # up the codegen tree). Literal layout is transposed to
+    # per-dimension weight rows so zip_with walks the embedding once.
+    # (A fully-unrolled 512-term scalar expression executes faster per
+    # row but costs ~2 s of driver-side analysis + codegen per plan
+    # build — the wrong trade at bench scale and irrelevant at cluster
+    # scale where the fold is also fine.) Dots round to 6 digits before
+    # the sign test, mirroring the SQL oracle, summation order d
+    # ascending on both engines' shuffle-free forms.
+    w_by_dim = F.array(
+        *[F.array(*[F.lit(planes[i][d]) for i in range(N_PLANES)]) for d in range(N_DIMS)]
     )
-    return dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dp") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(F.lit(0))
-        ).alias("bucket")
+    zero = F.array(*[F.lit(0.0) for _ in range(N_PLANES)])
+    contrib = F.zip_with(v, w_by_dim, lambda x, ws: F.transform(ws, lambda w: w * x))
+    dots = F.aggregate(contrib, zero, lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b))
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(N_PLANES)])
+    bucket = F.aggregate(
+        F.zip_with(
+            dots, pows,
+            lambda dp, p: F.when(F.round(dp, 6) > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
+    return emb.select("vec_id", bucket.alias("bucket"))
 
 
 @register(

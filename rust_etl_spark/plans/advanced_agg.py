@@ -11,9 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
+
+#: Frame width of the RANGE window — also the value-bucket width of the
+#: distributed re-plan below (frame spans at most 2 adjacent buckets).
+RANGE_FRAME_W = 1000.0
 
 
 @register(
@@ -32,20 +37,112 @@ from rust_etl_spark.sources import load_table
     "(frame membership is value-determined, so ties need no break).",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The Python Window API only takes integral range offsets; the SQL
-    # form supports numeric frames directly (same Catalyst plan).
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice,
-               CAST(count(*) OVER (
-                    ORDER BY o_totalprice
-                    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
-               round(sum(o_totalprice) OVER (
-                    ORDER BY o_totalprice
-                    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS sum_near
-        FROM orders_v
-        """
+    """Distributed RANGE-frame window via a two-level prefix sum.
+
+    The naive plan (``OVER (ORDER BY o_totalprice RANGE ...)`` with no
+    PARTITION BY) moves the whole table into ONE task — Spark itself
+    warns "No Partition Defined for Window operation". That dies at
+    scale, so this computes the identical result as
+
+        G(<= p) - G(< p - W)
+
+    where G is the global value-prefix aggregate, assembled from:
+
+    1. per-(bucket, value) partial aggregates over distinct prices,
+       with an in-bucket running prefix (window PARTITIONed BY bucket:
+       per-partition rows are bounded by the distinct values per
+       bucket, not the data size);
+    2. a densified bucket-total table (size = value_domain / W — a few
+       hundred rows at ANY data scale) whose running offsets come from
+       a triangular self-join, deliberately not a global window, so no
+       single-partition stage exists anywhere in the plan;
+    3. one as-of lookup per row endpoint inside the bucket partition:
+       inclusive anchor at p (kind=2 sorts after the value row),
+       exclusive probe at p - W (kind=0 sorts before it, because a row
+       exactly W below is INSIDE the frame).
+
+    Bucket assignment floor(v / W) is monotone in v, so the
+    "all lower buckets + in-bucket prefix" decomposition is exact even
+    at FP bucket-boundary edge cases. Parallelism = number of value
+    buckets; at 100 TB pick W (or a secondary split key) so bucket
+    row-counts fit a task — the shuffle keys are (bucket, value), never
+    a single global ordering.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = F.lit(RANGE_FRAME_W)
+    bkt = lambda v: F.floor(v / w).cast("long")  # noqa: E731
+
+    # 1. distinct values with in-bucket prefix count/sum.
+    g = (
+        o.groupBy(bkt(F.col("o_totalprice")).alias("b"), F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+    )
+    wc = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = g.select(
+        "b", "v", F.sum("n").over(wc).alias("cn"), F.sum("s").over(wc).alias("cs")
+    )
+
+    # 2. densified bucket offsets (tiny: one row per W-wide slice of the
+    # value domain). Triangular join instead of a global window keeps
+    # the plan free of single-partition stages.
+    btot = g.groupBy("b").agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    lo_hi = btot.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    dense = lo_hi.select(F.explode(F.sequence("lo", "hi")).alias("b"))
+    a, t = dense.alias("a"), btot.alias("t")
+    boff = (
+        a.join(F.broadcast(t), F.col("t.b") < F.col("a.b"), "left")
+        .groupBy(F.col("a.b").alias("b"))
+        .agg(
+            F.coalesce(F.sum("t.tn"), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("t.ts"), F.lit(0.0)).alias("off_s"),
+        )
+    )
+
+    # 3. endpoint lookups, both generated in ONE scan: per row an
+    # inclusive anchor at p (+1 * G(<= p)) and an exclusive probe at
+    # p - W (-1 * G(< p - W)).
+    p = F.col("o_totalprice")
+    lookups = o.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    p.alias("price"),
+                    bkt(p).alias("b"),
+                    p.alias("v"),
+                    F.lit(2).alias("kind"),
+                    F.lit(1).alias("sign"),
+                ),
+                F.struct(
+                    F.lit(None).cast("double").alias("price"),
+                    bkt(p - w).alias("b"),
+                    (p - w).alias("v"),
+                    F.lit(0).alias("kind"),
+                    F.lit(-1).alias("sign"),
+                ),
+            )
+        ).alias("e"),
+    ).select("o_orderkey", "e.price", "e.b", "e.v", "e.kind", "e.sign")
+    union = idx.withColumn("kind", F.lit(1)).unionByName(lookups, allowMissingColumns=True)
+    wl = Window.partitionBy("b").orderBy("v", "kind").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    looked = (
+        union.withColumn("lcn", F.last("cn", ignorenulls=True).over(wl))
+        .withColumn("lcs", F.last("cs", ignorenulls=True).over(wl))
+        .filter(F.col("kind") != 1)
+    )
+    resolved = looked.join(F.broadcast(boff), "b", "left")
+    part_n = F.col("sign") * (F.coalesce("lcn", F.lit(0)) + F.coalesce("off_n", F.lit(0)))
+    part_s = F.col("sign") * (F.coalesce("lcs", F.lit(0.0)) + F.coalesce("off_s", F.lit(0.0)))
+    return (
+        resolved.groupBy("o_orderkey")
+        .agg(
+            F.max("price").alias("o_totalprice"),
+            F.sum(part_n).cast("bigint").alias("n_near"),
+            F.round(F.sum(part_s), 2).alias("sum_near"),
+        )
+        .select("o_orderkey", "o_totalprice", "n_near", "sum_near")
     )
 
 

@@ -60,3 +60,37 @@ def test_minhash_signatures_have_no_shuffle(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange" not in plan
+
+
+def test_lsh_bucket_assign_has_no_shuffle(spark):
+    """Hyperplane LSH bucketing is a per-row fold against literal plane
+    weights (round-2 re-plan): any Exchange is a regression to the
+    posexplode + join + double-groupBy shape."""
+    plan = _formatted_plan(spark, "lsh_bucket_assign")
+    assert "Exchange" not in plan
+
+
+def test_ngram_jaccard_scans_documents_once(spark):
+    """The jaccard pipeline is a single linear dataflow (round-2
+    re-plan): a second documents scan means a consumer re-evaluates the
+    scan+shingle subplan (Spark has no subplan reuse above exchanges)."""
+    plan = _formatted_plan(spark, "dedup_ngram_jaccard")
+    # formatted output lists each node once in the tree and once in the
+    # detail section
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_window_range_frame_has_no_global_window(spark):
+    """The RANGE-frame window is a two-level prefix sum partitioned by
+    value bucket (round-2 re-plan): a window with an empty partition
+    spec would move the whole table into one task."""
+    plan = _formatted_plan(spark, "window_range_frame")
+    # Every windowspecdefinition must carry a partition column; the
+    # global form renders as 'windowspecdefinition(v ASC...' with no
+    # leading partition expression list before the sort spec. Cheap
+    # proxy: the physical plan must not contain SinglePartition feeding
+    # a Window node (scalar aggregates may still use SinglePartition).
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n\s*\+- Window", plan):
+        raise AssertionError(f"single-partition window in plan: {m.group(0)}")
