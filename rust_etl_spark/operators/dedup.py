@@ -188,13 +188,8 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_MINHASH_ORACLE,
-    doc=f"MinHash({MINHASH_K})+LSH({MINHASH_BAND_ROWS}-row bands) near-dup candidate pairs, "
-    f"bucket-capped at {MINHASH_MAX_BUCKET} (mega-buckets go to dedup_minhash_groups).",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) MinHash-LSH near-dup candidate pairs (doc_a < doc_b)."""
     docs = load_table(spark, sf_dir, "documents")
     bands = minhash_bands(minhash_wide(docs))
     # One aggregation per bucket, then in-bucket pair expansion — NOT a
@@ -208,6 +203,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = buckets.select(_expand_pairs("members").alias("p"))
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc=f"MinHash({MINHASH_K})+LSH({MINHASH_BAND_ROWS}-row bands) near-dup candidate pairs, "
+    f"bucket-capped at {MINHASH_MAX_BUCKET} (mega-buckets go to dedup_minhash_groups).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(spark, sf_dir)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE base AS ({_MINHASH_ORACLE}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM base
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM base
+        ),
+        walk(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+            UNION
+            SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+        )
+        SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
+    """,
+    doc="Duplicate clusters: connected components over the MinHash-LSH candidate-pair "
+    "graph via iterative min-label propagation (cluster_id = min doc_id reachable). "
+    "The step that turns pairwise near-dup evidence into keep-one-per-cluster decisions.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation to a fixpoint.
+
+    Each round is one shuffle-join round (labels x edges, groupBy min)
+    and converges in O(graph diameter) rounds — near-dup cluster
+    graphs are band-induced quasi-cliques, so 2-3 rounds in practice.
+    The driver-side loop only checks an aggregate convergence bit per
+    round; all per-row work stays distributed (at larger scale swap the
+    propagation for the large-star/small-star formulation — same
+    DataFrame ops, fewer rounds on high-diameter graphs).
+    DuckDB mirror: recursive CTE computing min reachable doc_id.
+    """
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)  # fixed frontier reused every round
+    )
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(50):  # safety bound far above any near-dup graph diameter
+        prop = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        # One materialization per round: the new label AND the
+        # convergence bit live in the same checkpointed frame, so the
+        # changed-check reads the materialized rows instead of
+        # re-running the join.
+        step = (
+            labels.join(prop, "u", "left")
+            .select(
+                "u",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("moved"),
+            )
+            .localCheckpoint(eager=True)  # also truncates the growing lineage
+        )
+        labels = step.select("u", "lbl")
+        if step.filter(F.col("moved")).limit(1).count() == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
 @register(

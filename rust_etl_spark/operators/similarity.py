@@ -309,6 +309,36 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_iterate",
+    oracle=f"""
+        WITH {_ASSIGN_SQL},
+        comp AS (
+            SELECT a.cid,
+                   CAST(generate_subscripts(e.embedding, 1) - 1 AS BIGINT) AS d,
+                   CAST(unnest(e.embedding) AS DOUBLE) AS x
+            FROM assign a JOIN embeddings e USING (vec_id)
+        )
+        SELECT cid, d, round(avg(x), 6) AS c_val, count(*) AS n_members
+        FROM comp GROUP BY cid, d
+    """,
+    doc="One Lloyd (k-means) iteration: argmin-L2 assignment to the deterministic "
+    "centroids, then per-(cell, dimension) mean — the building block of iterative "
+    "clustering expressed as assignment + aggregation (each iteration is one "
+    "broadcast-probe plus one high-cardinality groupBy; no driver-side vectors).",
+)
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(spark, emb).select("vec_id", "cid")
+    comp = assign.join(emb, "vec_id").select(
+        "cid", F.posexplode(to_double_array("embedding")).alias("d", "x")
+    )
+    return (
+        comp.groupBy("cid", F.col("d").cast("long").alias("d"))
+        .agg(F.round(F.avg("x"), 6).alias("c_val"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+@register(
     "similarity_ann_ivf",
     oracle=f"""
         WITH {_ASSIGN_SQL},

@@ -191,6 +191,69 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", F.round(score, 4).alias("quality"))
 
 
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf_cnt FROM tok GROUP BY doc_id, term
+        ), stat AS (
+            SELECT doc_id, term, tf_cnt,
+                   count(*) OVER (PARTITION BY term) AS dfreq,
+                   sum(tf_cnt) OVER (PARTITION BY doc_id) AS ntok
+            FROM tf
+        ), n AS (SELECT count(*) AS n_corpus FROM documents),
+        scored AS (
+            SELECT doc_id, term,
+                   round((tf_cnt / CAST(ntok AS DOUBLE))
+                         * ln(CAST(n_corpus AS DOUBLE) / dfreq), 6) AS tfidf
+            FROM stat CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, rk FROM (
+            SELECT doc_id, term, tfidf,
+                   CAST(row_number() OVER (
+                        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+            FROM scored
+        ) t WHERE rk <= {TFIDF_TOPK}
+    """,
+    doc=f"Top-{TFIDF_TOPK} TF-IDF terms per document (rank on the 6-digit-rounded score "
+    "with a term tie-break so both engines rank identically).",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single linear dataflow: term frequencies once, document frequency
+    and doc length as windows over that frame (no re-scan, no joins
+    except the 1-row corpus-size broadcast). Shuffle keys are term /
+    doc_id — high-cardinality, AQE-splittable at 100 TB."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rows = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    stat = tf.withColumn(
+        "dfreq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn("ntok", F.sum("tf_cnt").over(Window.partitionBy("doc_id")))
+    n = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    scored = stat.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("tf_cnt") / F.col("ntok").cast("double"))
+            * F.log(F.col("n_corpus").cast("double") / F.col("dfreq")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""

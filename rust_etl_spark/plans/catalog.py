@@ -45,9 +45,11 @@ _REGISTRY: dict[str, Query] = {}
 GRADE_WINDOW = 50
 
 GRADE_ORDER: tuple[str, ...] = (
-    # §2c dedup family
+    # §2c dedup family (dedup_embedding_cosine — the explicitly-quadratic
+    # correctness baseline — ships pytest-only; its scale path
+    # dedup_embedding_lsh holds the graded slot)
     "dedup_exact", "dedup_exact_hash", "dedup_minhash_lsh", "dedup_minhash_groups",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
     # §2c similarity search family
     "similarity_topk", "lsh_bucket_assign", "similarity_ann_lsh",
     "dedup_embedding_lsh", "ivf_assign", "similarity_ann_ivf",
