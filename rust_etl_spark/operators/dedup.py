@@ -465,6 +465,84 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return th.select("doc_id", simhash.alias("simhash"))
 
 
+# ------------------------------------------------ end-to-end curation
+
+CURATION_MIN_QUALITY = 0.5
+
+
+def _curation_oracle() -> str:
+    # Composed from the same SQL fragments as quality_score and
+    # dedup_clusters (imported lazily — textfns/text have no dedup
+    # dependency, so this cannot cycle).
+    from rust_etl_spark.functions.textfns import alpha_ratio_sql, token_count_sql, tokens_sql
+    from rust_etl_spark.operators.text import STOPWORDS, stopword_hits_sql
+
+    quality = f"""round(  0.4 * least({token_count_sql('text')} / 100.0, 1.0)
+                 + 0.3 * ({stopword_hits_sql(tokens_sql('text'), STOPWORDS['en'])}
+                          / greatest({token_count_sql('text')}, 1))
+                 + 0.3 * ({alpha_ratio_sql('text')}), 4)"""
+    return f"""
+        WITH RECURSIVE base AS ({_MINHASH_ORACLE}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM base
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM base
+        ),
+        walk(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+            UNION
+            SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+        ),
+        clusters AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+        scored AS (
+            SELECT doc_id, lang, n_chars, {quality} AS quality FROM documents
+        )
+        SELECT s.doc_id, s.lang, s.n_chars, s.quality
+        FROM scored s
+        WHERE s.quality >= {CURATION_MIN_QUALITY}
+          AND s.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    """
+
+
+@register(
+    "corpus_curation",
+    oracle=_curation_oracle(),
+    doc="End-to-end corpus curation: quality gate + one-keeper-per-near-dup-cluster "
+    "(composition of quality_score and dedup_clusters over the documents table).",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline an LLM
+    training-data run actually executes: score every document, drop
+    low-quality ones, and keep exactly one representative per near-dup
+    cluster (the min-doc_id keeper from ``dedup_clusters``).
+
+    All stages reuse the already-verified operators; the join against
+    non-keepers is a left_anti on doc_id (at 100 TB: a shuffle of ids,
+    never documents — the cluster table is orders of magnitude smaller
+    than the corpus).
+    """
+    from rust_etl_spark.functions.textfns import alpha_ratio, tokens
+    from rust_etl_spark.operators.text import STOPWORDS, stopword_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "n_chars", alpha_ratio("text").alias("alpha"), tokens("text").alias("t")
+    )
+    n_tok = F.size("t").cast("long")
+    quality = F.round(
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (stopword_hits(F.col("t"), STOPWORDS["en"]) / F.greatest(n_tok, F.lit(1)))
+        + 0.3 * F.col("alpha"),
+        4,
+    )
+    scored = base.select("doc_id", "lang", "n_chars", quality.alias("quality"))
+    non_keepers = dedup_clusters(spark, sf_dir).filter(F.col("doc_id") != F.col("cluster_id"))
+    return (
+        scored.filter(F.col("quality") >= CURATION_MIN_QUALITY)
+        .join(non_keepers.select("doc_id"), "doc_id", "left_anti")
+    )
+
+
 # ------------------------------------------- embedding cosine near-dup
 
 COSINE_NEARDUP_TAU = 0.4

@@ -191,6 +191,41 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", F.round(score, 4).alias("quality"))
 
 
+#: BPE-style pre-tokenizer pattern (GPT-2-shaped, simplified): English
+#: contraction suffixes, space-prefixed letter runs, digit runs,
+#: punctuation runs, whitespace runs. Restricted to constructs Java
+#: regex (Spark) and RE2 (DuckDB) match identically — no lookarounds,
+#: no unicode categories.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+_BPE_SQL_LIT = BPE_PATTERN.replace("'", "''")  # SQL string-literal escaping
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter(
+                    regexp_extract_all(lower(text), '{_BPE_SQL_LIT}'),
+                    t -> NOT regexp_matches(t, '^\\s+$'))) AS BIGINT) AS n_bpe,
+               {token_count_sql('text')} AS n_ws
+        FROM documents
+    """,
+    doc="BPE-style subword-ish token counting (GPT-2-shaped pre-tokenizer regex: "
+    "contractions / letter runs / digit runs / punct runs), next to the whitespace "
+    "count — the token-budget estimator a training pipeline runs over every doc.",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
+    non_ws = F.filter(pieces, lambda t: ~t.rlike(r"^\s+$"))
+    base = docs.select("doc_id", tokens("text").alias("t"), non_ws.alias("bpe"))
+    return base.select(
+        "doc_id",
+        F.size("bpe").cast("long").alias("n_bpe"),
+        F.size("t").cast("long").alias("n_ws"),
+    )
+
+
 TFIDF_TOPK = 3
 
 
