@@ -248,13 +248,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB mirror: recursive CTE computing min reachable doc_id.
     """
     pairs = minhash_candidate_pairs(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def connected_components(pairs: DataFrame, a: str, b: str, max_rounds: int = 50) -> DataFrame:
+    """(u, lbl) for every node of the undirected pair graph, where lbl
+    is the minimum node id in its connected component.
+
+    Distributed min-label propagation; ``max_rounds`` is a safety bound
+    far above any near-dup graph diameter (convergence is checked each
+    round). Property-tested against a union-find reference in
+    tests/test_properties.py.
+    """
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .localCheckpoint(eager=True)  # fixed frontier reused every round
     )
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
-    for _ in range(50):  # safety bound far above any near-dup graph diameter
+    for _ in range(max_rounds):
         prop = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
@@ -276,7 +290,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = step.select("u", "lbl")
         if step.filter(F.col("moved")).limit(1).count() == 0:
             break
-    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return labels
 
 
 @register(

@@ -90,6 +90,50 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.digest").alias("digest"))
 
 
+FRAME_BYTES = 256   #: fixed frame size of the fake video payload
+FRAME_STRIDE = 4    #: sample every 4th frame
+FRAME_HEAD = 16     #: digest = hex of the frame's first bytes
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH p AS (
+            -- hex the whole payload once: DuckDB has no BLOB substring,
+            -- and a hex slice is byte-exact on both engines
+            SELECT doc_id, lower(hex(encode(text))) AS payload_hex,
+                   CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+            FROM documents
+        ), fr AS (
+            SELECT doc_id, n_frames, payload_hex,
+                   CAST(unnest(range(0, n_frames, {FRAME_STRIDE})) AS BIGINT) AS frame_idx
+            FROM p
+        )
+        SELECT doc_id, n_frames, frame_idx,
+               substring(payload_hex, frame_idx * {2 * FRAME_BYTES} + 1, {2 * FRAME_HEAD}) AS frame_head
+        FROM fr
+    """,
+    doc=f"Frame sampling over binary payloads: treat the payload as {FRAME_BYTES}-byte "
+    f"frames, keep every {FRAME_STRIDE}th, digest each frame head — the strided-"
+    "decode access pattern of video pipelines, kept entirely JVM-side (no UDF).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    p = docs.select(
+        "doc_id",
+        F.lower(F.hex(payload)).alias("payload_hex"),
+        F.ceil(F.octet_length(payload) / float(FRAME_BYTES)).alias("n_frames"),
+    )
+    idx = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(FRAME_STRIDE).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    sampled = p.select("doc_id", "n_frames", "payload_hex", F.explode(idx).alias("frame_idx"))
+    frame_head = F.expr(f"substring(payload_hex, frame_idx * {2 * FRAME_BYTES} + 1, {2 * FRAME_HEAD})")
+    return sampled.select("doc_id", "n_frames", "frame_idx", frame_head.alias("frame_head"))
+
+
 @register(
     "multimodal_features",
     oracle=None,  # mapInPandas feature extraction: rows-only driver check; pytest pins values

@@ -70,6 +70,66 @@ def run_stream_dedup_once(spark: SparkSession, events_path: str) -> int:
     return spark.sql("SELECT count(*) AS n FROM events_deduped").collect()[0]["n"]
 
 
+def run_stream_interval_join_once(spark: SparkSession, events_path: str) -> DataFrame:
+    """Watermarked stream-stream interval join: signup events joined to
+    the same user's follow-up events within 24 h — the streaming form
+    of the batch ``events_range_join`` query (plans/events_queries.py),
+    which the test validates it against row-for-row.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both ends, so Spark can expire join state: memory holds
+    only rows inside watermark + interval, regardless of stream length.
+    Returns the joined (signup_id, event_id) pairs from the memory sink.
+    """
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    watch_dir = tempfile.mkdtemp(prefix="events_ssjoin_")
+    shutil.copy(events_path, watch_dir)
+    schema = spark.read.parquet(events_path).schema
+
+    def src():
+        # Raw parquet ts is TIMESTAMP(NANOS) read as bigint under
+        # nanosAsLong (load_table's ts_ns derivation doesn't apply to
+        # the raw stream source).
+        s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch_dir)
+        return s.withColumn("ts_ev", F.timestamp_micros(F.expr("ts div 1000")))
+
+    signups = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts_ev").alias("ts_s"),
+        )
+        .withWatermark("ts_s", "1 hour")
+    )
+    follows = (
+        src()
+        .select("event_id", F.col("user_id").alias("e_user"), F.col("ts_ev").alias("ts_e"))
+        .withWatermark("ts_e", "1 hour")
+    )
+    joined = signups.join(
+        follows,
+        F.expr(
+            "e_user = s_user AND ts_e > ts_s AND ts_e <= ts_s + INTERVAL 24 HOURS"
+        ),
+    ).select("signup_id", "event_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_ssjoin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql("SELECT signup_id, event_id FROM events_ssjoin")
+
+
 def run_stream_once(spark: SparkSession, sf_dir: str, events_path: str) -> DataFrame:
     """Drive the streaming agg over a bounded file source to
     completion (memory sink) and return the result as a DataFrame —

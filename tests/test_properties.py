@@ -39,6 +39,41 @@ def test_decode_matches_reference_semantics(spark, arrays):
         assert got[i] == _decode_reference(arr), f"row {i}: {arr!r}"
 
 
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Distributed min-label propagation must agree with a sequential
+    union-find on arbitrary small graphs (chains, cliques, self-loops,
+    parallel edges)."""
+    from rust_etl_spark.operators.dedup import connected_components
+
+    edges = [(u, v) for u, v in edge_list]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["u"]: r["lbl"] for r in connected_components(df, "a", "b").collect()}
+    assert got == want
+
+
 @given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=12, unique=True))
 @_SLOW
 def test_md5_long60_matches_python_hashlib(spark, tokens_list):
