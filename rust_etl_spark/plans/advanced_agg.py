@@ -166,6 +166,78 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_lead_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(lag(o_orderkey)  OVER w AS BIGINT) AS prev_order,
+               CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order,
+               round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_spend,
+               CAST(ntile(4) OVER w AS INT) AS spend_quartile,
+               round(percent_rank() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice, o_orderkey), 6) AS pr
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic-function surface: lag/lead offsets, ntile bucketing, percent_rank — "
+    "one shuffle on the partition key, total-order sort keys on every spec.",
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_spend"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("pr"),
+    )
+
+
+@register(
+    "fuzzy_blocked_match",
+    oracle="""
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND substring(a.c_name, length(a.c_name) - 2, 3) = substring(b.c_name, length(b.c_name) - 2, 3)
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 3
+    """,
+    doc="Fuzzy entity matching with blocking: candidate pairs only within "
+    "(nation, name-suffix) blocks, then edit-distance filter — the classic "
+    "entity-resolution shape whose cost is bounded by block sizes, never n^2. "
+    "(Suffix blocking because TPC-H-ish names share one long prefix; real "
+    "deployments run several passes with different block keys to recover "
+    "matches a single key misses.)",
+)
+def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.expr("substring(c_name, length(c_name) - 2, 3)").alias("blk"),
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"), "c_nationkey", "blk"
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"), "c_nationkey", "blk"
+    )
+    pairs = a.join(b, ["c_nationkey", "blk"]).filter(F.col("cust_a") < F.col("cust_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.filter(dist <= 3).select(
+        "cust_a", "cust_b", dist.cast("long").alias("dist")
+    )
+
+
+@register(
     "approx_distinct",
     oracle=None,  # sketch internals are engine-specific; bounded in tests/test_approx.py
     doc="Approximate sketches: HLL distinct + approximate percentile per return flag (rows-only check).",
