@@ -17,6 +17,33 @@ from rust_etl_spark.sources import load_table
 
 
 @register(
+    "q17_small_quantity",
+    oracle="""
+        WITH pavg AS (
+            SELECT l_partkey, avg(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l JOIN pavg ON l.l_partkey = pavg.l_partkey
+        WHERE l.l_quantity < 0.5 * pavg.avg_qty
+    """,
+    doc="TPC-H-Q17-shaped correlated aggregate: rows compared against their own "
+    "group's average via a derived-aggregate join (the decorrelated form Catalyst "
+    "produces for the scalar subquery; one shuffle keyed l_partkey on each side).",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pavg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
     "q3_shipping_priority",
     oracle="""
         SELECT l_orderkey,

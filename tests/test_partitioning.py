@@ -3,6 +3,8 @@ equivalence — the scale levers must be observable in plans/results."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from rust_etl_spark.operators.joins import salted_join
@@ -40,6 +42,48 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     plan = _plan(j)
     assert "Exchange hashpartitioning" not in plan, "bucketed join must not reshuffle"
     assert j.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+
+
+def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order clustering must shrink per-row-group min/max spans on
+    BOTH key columns vs an unclustered write — that span shrinkage is
+    exactly what lets parquet footer stats skip row groups for
+    predicates on either column."""
+    import pyarrow.parquet as pq
+
+    from rust_etl_spark.sinks import write_zordered
+    from rust_etl_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def mean_span_product(path: str) -> float:
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                sp = cols["l_partkey"]
+                ss = cols["l_suppkey"]
+                spans.append(
+                    (sp.max - sp.min + 1) * (ss.max - ss.min + 1)
+                )
+        return sum(spans) / len(spans)
+
+    plain = str(tmp_path / "plain")
+    li.repartition(4).write.mode("overwrite").option("maxRecordsPerFile", 500).parquet(plain)
+    zed = str(tmp_path / "zed")
+    write_zordered(li, zed, "l_partkey", "l_suppkey", max_records_per_file=500)
+
+    assert mean_span_product(zed) < mean_span_product(plain) / 4
+    # identical content, just relaid
+    assert spark.read.parquet(zed).count() == li.count()
 
 
 def test_salted_join_matches_plain_join(spark):
