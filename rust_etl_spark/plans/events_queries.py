@@ -189,6 +189,31 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+    doc="Direct-path JSON field extraction (get_json_object) from the props "
+    "column with a pushed numeric filter; missing paths yield NULL on both engines.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k"),
+            F.get_json_object("props", "$.missing").cast("long").alias("absent"),
+        )
+        .filter(F.col("k") >= 50)
+    )
+
+
+@register(
     "events_range_join",
     oracle="""
         SELECT s.event_id AS signup_id, count(*) AS n_follow
