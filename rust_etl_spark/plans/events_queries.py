@@ -224,18 +224,38 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND epoch_us(e.ts) <= epoch_us(s.ts) + 24 * 3600 * CAST(1000000 AS BIGINT)
         GROUP BY s.event_id
     """,
-    doc="Range join: per signup event, follow-up events of the same user within 24h "
-    "(equi-key + range predicate; at scale, bucket the time axis to bound fan-out).",
+    doc="Range join: per signup event, follow-up events of the same user within 24h. "
+    "Time axis bucketed at the window width, so the join key is (user, day-bucket) "
+    "— per-key fan-out is one day of one user's events, not their whole history.",
 )
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: a follow event at time e can only match a
+    signup in day-bucket floor(e/W) or floor(e/W) - 1 (window width W
+    = 1 day), so the follow side is exploded into those two candidate
+    buckets and the join runs on (user_id, bucket). At 100 TB this
+    bounds every join group to ~one user-day instead of one user-
+    lifetime; the residual range predicate filters inside buckets."""
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select("user_id", F.expr("ts_ns div 1000").alias("e_us"))
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_id"), "user_id", F.expr("ts_ns div 1000").alias("s_us")
-    )
     day_us = 24 * 3600 * 1_000_000
+    base = ev.select("user_id", F.expr("ts_ns div 1000").alias("e_us")).select(
+        "user_id",
+        "e_us",
+        # integer division: bucket boundaries are exact, no FP floor
+        F.explode(
+            F.array(
+                F.expr(f"e_us div {day_us}"),
+                F.expr(f"e_us div {day_us} - 1"),
+            )
+        ).alias("bkt"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.expr("ts_ns div 1000").alias("s_us"),
+        F.expr(f"(ts_ns div 1000) div {day_us}").alias("bkt"),
+    )
     return (
-        signups.join(base, "user_id")
+        signups.join(base, ["user_id", "bkt"])
         .filter((F.col("e_us") > F.col("s_us")) & (F.col("e_us") <= F.col("s_us") + day_us))
         .groupBy("signup_id")
         .agg(F.count(F.lit(1)).alias("n_follow"))
