@@ -338,6 +338,60 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_ITERS = 3
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=None,  # iterative refinement; validated against a NumPy reference in tests/test_probes.py
+    doc=f"{KMEANS_ITERS} Lloyd iterations from the deterministic IVF codebook: "
+    "each round is one broadcast-probe assignment + one per-(cell, dim) mean, "
+    "centroids re-collected to the driver between rounds (a codebook is KB-sized "
+    "at any corpus scale; the per-vector work stays distributed).",
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroids after KMEANS_ITERS full Lloyd rounds.
+
+    The per-round shape matches kmeans_iterate (broadcast centroids ->
+    argmin-L2 -> per-cell mean); between rounds only the centroid
+    codebook (n_cells x n_dims doubles) crosses the driver boundary.
+    A cell that loses every member drops out of the codebook. Output is
+    (cid, d, c_val, n_members) for the final round.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+    )
+    spark_sess = emb.sparkSession
+    last = None
+    for _ in range(KMEANS_ITERS):
+        dists = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", l2sq(F.col("v"), F.col("cvec")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assigned = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        comp = assigned.select("cid", "v", F.posexplode("v").alias("d", "x"))
+        stats = comp.groupBy("cid", F.col("d").cast("long").alias("d")).agg(
+            F.avg("x").alias("c_val"), F.count(F.lit(1)).alias("n_members")
+        )
+        last = stats
+        # Codebook-sized collect (cells x dims doubles) to seed the next
+        # round's broadcast — the standard Lloyd driver loop.
+        rows = stats.orderBy("cid", "d").collect()
+        by_cid: dict[int, list[float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], []).append(float(r["c_val"]))
+        cents = spark_sess.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(by_cid.items())], "cid long, cvec array<double>"
+        )
+    return last.select(
+        "cid", "d", F.round(F.col("c_val"), 6).alias("c_val"), "n_members"
+    )
+
+
 @register(
     "similarity_ann_ivf",
     oracle=f"""

@@ -73,6 +73,51 @@ def test_frame_sample_boundaries(spark):
     assert (0, 0) not in got  # empty doc emits no frames
 
 
+def test_kmeans_lloyd_matches_numpy(spark):
+    """3 Lloyd rounds on Spark must agree with a NumPy reference run
+    from the same deterministic init (tolerance for summation order)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rust_etl_spark.operators.similarity import (
+        IVF_CENTROID_MOD,
+        KMEANS_ITERS,
+        kmeans_lloyd,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    X = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    cent_ids = sorted(int(i) for i in ids if i % IVF_CENTROID_MOD == 0)
+    cents = {cid: X[list(ids).index(cid)].copy() for cid in cent_ids}
+
+    for _ in range(KMEANS_ITERS):
+        members: dict[int, list[int]] = {cid: [] for cid in cents}
+        order = sorted(cents)
+        C = np.array([cents[c] for c in order])
+        for row, x in enumerate(X):
+            # l2sq rounds to 6 digits before the argmin on the Spark
+            # side; mirror that so near-ties resolve identically.
+            d = np.round(((C - x) ** 2).sum(axis=1), 6)
+            # ties break on lower cid — matches ORDER BY dist, cid
+            best = order[int(np.argmin(d))]
+            members[best].append(row)
+        cents = {
+            cid: X[rows].mean(axis=0) for cid, rows in members.items() if rows
+        }
+
+    got = {}
+    n_got = {}
+    for r in kmeans_lloyd(spark, sf).collect():
+        got.setdefault(r["cid"], {})[r["d"]] = r["c_val"]
+        n_got[r["cid"]] = r["n_members"]
+    assert set(got) == set(cents)
+    for cid, vec in cents.items():
+        for d, val in enumerate(vec):
+            assert abs(got[cid][d] - round(val, 6)) <= 1e-6, (cid, d)
+
+
 def test_tfidf_rank_breaks_ties_on_term(spark):
     """Equal rounded scores must rank alphabetically by term on both
     engines — two docs of two equal-frequency terms each."""
