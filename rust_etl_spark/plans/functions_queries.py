@@ -113,6 +113,52 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bitwise_funcs",
+    oracle="""
+        SELECT l_returnflag,
+               bit_and(l_orderkey)               AS k_and,
+               bit_or(l_orderkey)                AS k_or,
+               bit_xor(l_orderkey)               AS k_xor,
+               CAST(max(l_orderkey & 255) AS BIGINT)      AS max_low_byte,
+               CAST(max(l_orderkey >> 8) AS BIGINT)       AS max_high
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bitwise scalar + aggregate surface: AND/OR/XOR aggregates, masks, shifts.",
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("k_and"),
+        F.bit_or("l_orderkey").alias("k_or"),
+        F.bit_xor("l_orderkey").alias("k_xor"),
+        F.max(F.expr("l_orderkey & 255")).alias("max_low_byte"),
+        F.max(F.expr("shiftright(l_orderkey, 8)")).alias("max_high"),
+    )
+
+
+@register(
+    "safe_cast_parse",
+    oracle="""
+        SELECT p_partkey,
+               TRY_CAST(p_size AS BIGINT)                         AS size_big,
+               TRY_CAST(p_name AS BIGINT)                         AS name_as_int,
+               TRY_CAST(regexp_extract(p_type, '[0-9]+') AS BIGINT) AS type_digits
+        FROM part
+    """,
+    doc="Error-free casting surface: try_cast yields NULL instead of failing on "
+    "malformed input (ANSI-safe ingestion over dirty columns).",
+)
+def safe_cast_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("string").try_cast("bigint").alias("size_big"),
+        F.col("p_name").try_cast("bigint").alias("name_as_int"),
+        F.regexp_extract("p_type", "[0-9]+", 0).try_cast("bigint").alias("type_digits"),
+    )
+
+
+@register(
     "conditional_null",
     oracle="""
         SELECT c_custkey,
