@@ -360,8 +360,9 @@ _JACCARD_ORACLE = f"""
 @register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
-    doc=f"{JACCARD_SHINGLE_N}-gram Jaccard pairs >= {JACCARD_THRESHOLD} via inverted-index "
-    f"self-join over discriminative shingles (df <= {JACCARD_DF_CAP}).",
+    doc=f"{JACCARD_SHINGLE_N}-gram Jaccard pairs >= {JACCARD_THRESHOLD} via an inverted "
+    f"index over discriminative shingles (df <= {JACCARD_DF_CAP}); one linear dataflow, "
+    "single documents scan, in-row pair expansion.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single linear dataflow — ONE scan of ``documents``.

@@ -47,6 +47,19 @@ def test_window_queries_have_oracles():
     assert not missing, f"graded-window queries without an oracle: {sorted(missing)}"
 
 
+def test_catalog_md_in_sync():
+    """CATALOG.md is generated; regenerate after catalog changes with
+    `python -m rust_etl_spark.plans.catalog_doc`."""
+    import os
+
+    from rust_etl_spark.plans.catalog_doc import render
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CATALOG.md")
+    with open(path) as f:
+        on_disk = f.read()
+    assert on_disk == render(), "CATALOG.md is stale — regenerate it"
+
+
 def test_no_rows_only_surprises():
     """A new oracle-less query must be added to ROWS_ONLY_OK consciously."""
     rows_only = set(catalog.queries()) - set(catalog.oracle_sql())
