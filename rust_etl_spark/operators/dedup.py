@@ -489,13 +489,10 @@ def _curation_oracle() -> str:
     # Composed from the same SQL fragments as quality_score and
     # dedup_clusters (imported lazily — textfns/text have no dedup
     # dependency, so this cannot cycle).
-    from rust_etl_spark.functions.textfns import alpha_ratio_sql, token_count_sql, tokens_sql
-    from rust_etl_spark.operators.text import STOPWORDS, stopword_hits_sql
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+    from rust_etl_spark.operators.text import _QUALITY_SQL
 
-    quality = f"""round(  0.4 * least({token_count_sql('text')} / 100.0, 1.0)
-                 + 0.3 * ({stopword_hits_sql(tokens_sql('text'), STOPWORDS['en'])}
-                          / greatest({token_count_sql('text')}, 1))
-                 + 0.3 * ({alpha_ratio_sql('text')}), 4)"""
+    quality = round_half_up_sql(_QUALITY_SQL, 4)
     return f"""
         WITH RECURSIVE base AS ({_MINHASH_ORACLE}),
         edges AS (
@@ -537,20 +534,15 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the corpus).
     """
     from rust_etl_spark.functions.textfns import alpha_ratio, tokens
-    from rust_etl_spark.operators.text import STOPWORDS, stopword_hits
+    from rust_etl_spark.operators.text import quality_expr
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "lang", "n_chars", alpha_ratio("text").alias("alpha"), tokens("text").alias("t")
     )
-    n_tok = F.size("t").cast("long")
-    quality = F.round(
-        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
-        + 0.3 * (stopword_hits(F.col("t"), STOPWORDS["en"]) / F.greatest(n_tok, F.lit(1)))
-        + 0.3 * F.col("alpha"),
-        4,
+    scored = base.select(
+        "doc_id", "lang", "n_chars", quality_expr(F.col("t"), F.col("alpha")).alias("quality")
     )
-    scored = base.select("doc_id", "lang", "n_chars", quality.alias("quality"))
     non_keepers = dedup_clusters(spark, sf_dir).filter(F.col("doc_id") != F.col("cluster_id"))
     return (
         scored.filter(F.col("quality") >= CURATION_MIN_QUALITY)

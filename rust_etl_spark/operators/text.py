@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
 from rust_etl_spark.functions.textfns import (
     alpha_ratio,
     alpha_ratio_sql,
@@ -167,28 +168,39 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_SQL = f"""0.4 * least({token_count_sql('text')} / 100.0, 1.0)
+                 + 0.3 * ({stopword_hits_sql(tokens_sql('text'), STOPWORDS['en'])}
+                          / greatest({token_count_sql('text')}, 1))
+                 + 0.3 * ({alpha_ratio_sql('text')})"""
+
+
+def quality_expr(t: Column, alpha: Column) -> Column:
+    """Composite quality over a materialized token array + alpha ratio,
+    rounded portably (round_half_up — engine round() diverges on
+    boundary doubles; see functions/rounding.py)."""
+    n_tok = F.size(t).cast("long")
+    score = (
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (stopword_hits(t, STOPWORDS["en"]) / F.greatest(n_tok, F.lit(1)))
+        + 0.3 * alpha
+    )
+    return round_half_up(score, 4)
+
+
 @register(
     "quality_score",
     oracle=f"""
         SELECT doc_id,
-               round(  0.4 * least({token_count_sql('text')} / 100.0, 1.0)
-                     + 0.3 * ({stopword_hits_sql(tokens_sql('text'), STOPWORDS['en'])}
-                              / greatest({token_count_sql('text')}, 1))
-                     + 0.3 * ({alpha_ratio_sql('text')}), 4) AS quality
+               {round_half_up_sql(_QUALITY_SQL, 4)} AS quality
         FROM documents
     """,
-    doc="Composite quality score: length saturation + stopword ratio + alpha ratio.",
+    doc="Composite quality score: length saturation + stopword ratio + alpha ratio "
+    "(portable half-up rounding so boundary doubles agree across engines).",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", alpha_ratio("text").alias("alpha"), tokens("text").alias("t"))
-    n_tok = F.size("t").cast("long")
-    score = (
-        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
-        + 0.3 * (stopword_hits(F.col("t"), STOPWORDS["en"]) / F.greatest(n_tok, F.lit(1)))
-        + 0.3 * F.col("alpha")
-    )
-    return base.select("doc_id", F.round(score, 4).alias("quality"))
+    return base.select("doc_id", quality_expr(F.col("t"), F.col("alpha")).alias("quality"))
 
 
 #: BPE-style pre-tokenizer pattern (GPT-2-shaped, simplified): English

@@ -55,8 +55,10 @@ GRADE_ORDER: tuple[str, ...] = (
     "dedup_embedding_lsh", "ivf_assign", "similarity_ann_ivf",
     # §2c text analysis family
     "text_stats", "token_count", "lang_id", "quality_score", "doc_fingerprint",
-    # §2c multimodal + grouped-map
-    "multimodal_meta", "multimodal_features", "grouped_normalize",
+    # §2c multimodal + grouped-map (frame_sample holds the second graded
+    # slot — full oracle — while the rows-only Arrow feature extractor
+    # stays pytest-bounded past the window)
+    "multimodal_meta", "multimodal_frame_sample", "grouped_normalize",
     # §2a reference-parity ETL operators
     "explode_array", "struct_unnest", "decode_codepoints", "drop_technical",
     # event-time / streaming-batch surface
