@@ -113,6 +113,30 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_regression",
+    oracle="""
+        SELECT o_orderpriority,
+               round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6)        AS r,
+               round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2)  AS cov,
+               round(regr_slope(o_totalprice, CAST(o_custkey AS DOUBLE)), 6)  AS slope,
+               round(regr_intercept(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS icept
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Bivariate statistical aggregates per group: Pearson correlation, sample "
+    "covariance, least-squares slope/intercept.",
+)
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y, x = F.col("o_totalprice"), F.col("o_custkey").cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.corr(y, x), 6).alias("r"),
+        F.round(F.covar_samp(y, x), 2).alias("cov"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("icept"),
+    )
+
+
+@register(
     "bitwise_funcs",
     oracle="""
         SELECT l_returnflag,
