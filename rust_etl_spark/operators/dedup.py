@@ -480,6 +480,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return th.select("doc_id", simhash.alias("simhash"))
 
 
+MINHASH_VERIFY_TAU = 0.8
+
+
+def _verified_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    inter = "len(list_filter(a.t, x -> list_contains(b.t, x)))"
+    jac = f"{inter} / CAST(len(a.t) + len(b.t) - {inter} AS DOUBLE)"
+    return f"""
+        WITH base AS ({_MINHASH_ORACLE}),
+        ta AS (SELECT doc_id, {distinct_tokens_sql('text')} AS t FROM documents)
+        SELECT doc_a, doc_b, {round_half_up_sql(jac, 4)} AS jaccard
+        FROM base
+        JOIN ta a ON a.doc_id = base.doc_a
+        JOIN ta b ON b.doc_id = base.doc_b
+        WHERE {jac} >= {MINHASH_VERIFY_TAU}
+    """
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=_verified_oracle(),
+    doc=f"Two-phase near-dup: MinHash-LSH candidates VERIFIED by exact distinct-token "
+    f"Jaccard >= {MINHASH_VERIFY_TAU} — the standard candidate->verify pipeline; "
+    "verification cost is linear in candidates, never all-pairs.",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", distinct_tokens("text").alias("t")
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    joined = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    jac = inter / (F.size("t_a") + F.size("t_b") - inter).cast("double")
+    return (
+        joined.filter(jac >= MINHASH_VERIFY_TAU)
+        .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
+    )
+
+
 # ------------------------------------------------ end-to-end curation
 
 CURATION_MIN_QUALITY = 0.5
