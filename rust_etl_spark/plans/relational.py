@@ -393,6 +393,56 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_id",
+    oracle="""
+        SELECT coalesce(o_orderstatus, '(n/a)') AS status,
+               coalesce(o_orderpriority, '(n/a)') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() indicator columns — disambiguates "
+    "a NULL group value from the roll-up NULL (the nuance coalesce alone hides).",
+)
+def grouping_sets_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(n/a)') AS status,
+               coalesce(o_orderpriority, '(n/a)') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "sort_nulls_last",
+    oracle="""
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        FROM customer
+        ORDER BY seg ASC NULLS LAST, c_custkey
+        LIMIT 20
+    """,
+    doc="Explicit NULL-ordering semantics: engines disagree on default NULL "
+    "placement (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so portable "
+    "sorts always state it; LIMIT makes the cutoff observable.",
+)
+def sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"))
+        .orderBy(F.col("seg").asc_nulls_last(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "groupby_having",
     oracle="""
         SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty

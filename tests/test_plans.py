@@ -80,6 +80,18 @@ def test_ngram_jaccard_scans_documents_once(spark):
     assert plan.count("documents.parquet") <= 2
 
 
+def test_range_join_keys_include_time_bucket(spark):
+    """The events range join must carry (user_id, bkt) as equi-join
+    keys — losing the bucket reverts to one-join-group-per-user-
+    lifetime. (At fixture scale Catalyst broadcasts the signup side,
+    so the keys appear on the join node, not a shuffle.)"""
+    import re
+
+    plan = _formatted_plan(spark, "events_range_join")
+    key_lines = [l for l in plan.splitlines() if re.search(r"(Left|Right) keys", l)]
+    assert key_lines and all("user_id" in l and "bkt" in l for l in key_lines), key_lines
+
+
 def test_window_range_frame_has_no_global_window(spark):
     """The RANGE-frame window is a two-level prefix sum partitioned by
     value bucket (round-2 re-plan): a window with an empty partition
