@@ -17,6 +17,35 @@ def _drop_file(src_dir: str, name: str, rows: list[dict]) -> None:
             f.write(json.dumps(r) + "\n")
 
 
+def test_incremental_aggregate_matches_batch_recompute(spark, tmp_path):
+    """The maintained summary after several file drops must equal a
+    from-scratch GROUP BY over everything that landed."""
+    from rust_etl_spark.streaming.aggregate_sink import start_incremental_aggregate
+
+    src = str(tmp_path / "landing")
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt_agg")
+    os.makedirs(src)
+    schema = "k string, v double"
+
+    _drop_file(src, "a.jsonl", [{"k": "x", "v": 1.0}, {"k": "y", "v": 2.0}])
+    q = start_incremental_aggregate(spark, src, summary, ckpt, schema, "k", "v")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _drop_file(src, "b.jsonl", [{"k": "x", "v": 3.0}, {"k": "z", "v": 5.0}])
+    q2 = start_incremental_aggregate(spark, src, summary, ckpt, schema, "k", "v")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {r["k"]: (r["n"], r["total"]) for r in spark.read.parquet(summary).collect()}
+    assert got == {"x": (2, 4.0), "y": (1, 2.0), "z": (1, 5.0)}
+
+
 def test_exactly_once_across_restarts(spark, tmp_path):
     src = str(tmp_path / "landing")
     dest = str(tmp_path / "table")

@@ -74,6 +74,42 @@ def test_connected_components_matches_union_find(spark, edge_list):
     assert got == want
 
 
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            # adversarial neighborhood: values whose x*1e4 lands on .5
+            st.integers(min_value=0, max_value=20000).map(lambda k: (2 * k + 1) / 20000.0),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+@_SLOW
+def test_round_half_up_is_cross_engine_exact(spark, xs):
+    """floor(x*10^n + 0.5)/10^n must be bit-identical between Spark and
+    DuckDB on arbitrary (incl. boundary) doubles — the portability
+    property plain round(double, n) lacks."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
+    got = {
+        r["i"]: r["r"] for r in df.select("i", round_half_up(F.col("x"), 4).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    for i, x in enumerate(xs):
+        # CAST: a bare literal parses as DECIMAL in DuckDB; oracles
+        # always feed round_half_up_sql a DOUBLE expression.
+        want = con.execute(
+            f"SELECT {round_half_up_sql(f'CAST({x!r} AS DOUBLE)', 4)}"
+        ).fetchone()[0]
+        assert got[i] == want, (i, xs[i], got[i], want)
+
+
 @given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=12, unique=True))
 @_SLOW
 def test_md5_long60_matches_python_hashlib(spark, tokens_list):
