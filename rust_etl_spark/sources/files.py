@@ -50,6 +50,31 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines read that quarantines malformed rows instead of
+    failing the job: good rows parse into ``schema``, broken lines land
+    verbatim in ``corrupt_col`` (NULL elsewhere) — the ingestion
+    posture for dirty landing zones at scale (fail-soft per row, the
+    row-level analogue of the reference's per-endpoint fail-soft,
+    /root/reference/src/main.rs:52-108).
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    full = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 

@@ -57,6 +57,42 @@ def test_orc_roundtrip(spark, nation, tmp_path):
     _assert_same_rows(nation, read_orc(spark, p), ["n_nationkey", "n_name", "n_regionkey"])
 
 
+def test_jsonl_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    """Malformed lines must land in _corrupt_record, not fail the job."""
+    from rust_etl_spark.sources.files import read_jsonl_permissive
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '["wrong", "shape"]\n'
+    )
+    df = read_jsonl_permissive(spark, str(p), "id long, name string")
+    # caching avoids the known Spark quirk where a query over ONLY the
+    # corrupt column on an uncached permissive read is disallowed
+    df = df.cache()
+    good = df.filter(df["_corrupt_record"].isNull())
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 2
+    assert any("broken" in r["_corrupt_record"] for r in bad.collect())
+
+
+def test_parquet_schema_evolution_merges(spark, tmp_path):
+    """Files written with widening schemas must read as one table under
+    mergeSchema, with missing columns NULL-filled."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(f"{d}/v1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{d}/v2")
+    df = spark.read.option("mergeSchema", True).option("recursiveFileLookup", True).parquet(d)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
 def test_avro_gated(spark, tmp_path):
     with pytest.raises(EngineError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "nope.avro"))
