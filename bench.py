@@ -22,6 +22,21 @@ from rust_etl_spark.plans import catalog
 from rust_etl_spark.session import get_spark
 from rust_etl_spark.sources import load_table
 
+#: Round-2 operators timed as a SECONDARY metric: kept out of HEADLINE so
+#: the headline total stays comparable across rounds.
+EXTENDED = [
+    "dedup_minhash_verified",
+    "dedup_clusters",
+    "corpus_curation",
+    "text_tfidf",
+    "token_count_bpe",
+    "multimodal_frame_sample",
+    "events_range_join",
+    "events_json_extract",
+    "kmeans_iterate",
+    "fuzzy_blocked_match",
+]
+
 HEADLINE = [
     "groupby_agg",
     "agg_filter_sum",
@@ -62,15 +77,20 @@ def main() -> None:
 
     # min-of-2 per query: first execution pays codegen/JIT, the min
     # reflects steady-state throughput and damps environment noise.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = catalog.get(name)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(q.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def run_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            q = catalog.get(name)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(q.fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        return timings
+
+    timings = run_set(HEADLINE)
+    extended = run_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -80,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
