@@ -87,8 +87,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 def _ordered() -> list[Query]:
-    """Registry entries with GRADE_ORDER first, the rest in registration order."""
-    rest = [q for q in _REGISTRY.values() if q.name not in set(GRADE_ORDER)]
+    """Registry entries with GRADE_ORDER first, the rest sorted by name.
+
+    The rest is sorted (not registration order) so the catalog order is
+    identical no matter which module a caller happened to import first
+    — registration order varies, e.g. when a test imports an operator
+    module before the catalog loads.
+    """
+    rest = sorted(
+        (q for q in _REGISTRY.values() if q.name not in set(GRADE_ORDER)),
+        key=lambda q: q.name,
+    )
     return [_REGISTRY[n] for n in GRADE_ORDER if n in _REGISTRY] + rest
 
 
