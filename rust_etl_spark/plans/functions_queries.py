@@ -77,6 +77,33 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_trunc_rollup",
+    oracle="""
+        SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
+               CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
+               CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY 1, 2, 3
+    """,
+    doc="Calendar bucketing: ISO-week/month/quarter truncation with per-bucket "
+    "aggregates (both engines truncate weeks to Monday).",
+)
+def date_trunc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.groupBy(
+            F.date_trunc("week", d).cast("date").alias("wk"),
+            F.date_trunc("month", d).cast("date").alias("mo"),
+            F.date_trunc("quarter", d).cast("date").alias("qtr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
     "math_funcs",
     oracle="""
         SELECT l_orderkey, l_linenumber,
