@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rust_etl_spark.functions.hashing import (
-    HASH_P,
     md5_long60,
     md5_long60_sql,
     universal_hash,

@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rust_etl_spark.sources import load_table
-
 WINDOW = "5 minutes"
 WATERMARK = "10 minutes"
 

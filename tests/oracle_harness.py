@@ -9,7 +9,6 @@ query is validated locally before the driver ever sees it.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
-import pyspark.sql.functions as F
-
 from rust_etl_spark.functions.textfns import tokens, word_shingles, word_shingles_sql, tokens_sql
 from tests.oracle_harness import compare
 

@@ -7,7 +7,6 @@ oracle gate.
 
 from __future__ import annotations
 
-import duckdb
 import pyspark.sql.functions as F
 
 from rust_etl_spark.operators.multimodal import FRAME_BYTES, FRAME_HEAD, FRAME_STRIDE
@@ -38,8 +37,6 @@ def test_frame_sample_boundaries(spark):
     ]
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-
-    from rust_etl_spark.operators import multimodal
 
     # Re-run the registered query body against this frame instead of the
     # fixture table by monkey-free inlining: same expressions.
