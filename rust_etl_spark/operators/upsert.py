@@ -11,8 +11,10 @@ The result is materialized to a fresh directory and swapped in via
 rename-aside (target -> target._old, tmp -> target, delete _old), so a
 live table directory exists at every instant: a crash mid-write leaves
 the old table untouched, and a crash between the two renames leaves a
-recoverable ``._upsert_old`` next to the new table instead of a window
-with no table at all. This is crash-safe, not transactional — a
+recoverable ``._upsert_old`` which the NEXT call restores to the
+target path before merging (the aside copy is the only full table at
+that point — it is never deleted unless the target also exists).
+This is crash-safe, not transactional — a
 concurrent reader can still see the directory change underneath it;
 snapshot isolation needs a table format (Delta/Iceberg), whose jars
 are not in this environment. (Write-then-rename mirrors the staging
@@ -28,11 +30,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def upsert_parquet(
-    spark: SparkSession, target_path: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    marker_files: dict[str, str] | None = None,
 ) -> None:
     """Insert-or-replace rows of ``updates`` into the parquet table at
-    ``target_path``, matching on ``keys``."""
+    ``target_path``, matching on ``keys``.
+
+    ``marker_files`` (name -> content) are written into the staged
+    directory BEFORE the swap, so they become visible atomically with
+    the new table version — callers use this to persist e.g. the last
+    applied streaming epoch with exactly-once semantics. Names must
+    start with ``_`` or ``.`` so parquet readers ignore them."""
     tmp_path = target_path.rstrip("/") + "._upsert_tmp"
+    old_path = target_path.rstrip("/") + "._upsert_old"
+    if os.path.exists(old_path) and not os.path.exists(target_path):
+        # Crash landed between the two swap renames: the previous table
+        # was moved aside but the new one never arrived. The aside copy
+        # is the only surviving full table — restore it before merging.
+        os.rename(old_path, target_path)
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
         kept = target.join(updates.select(*keys), keys, "left_anti")
@@ -40,8 +58,14 @@ def upsert_parquet(
     else:
         merged = updates
     merged.write.mode("overwrite").parquet(tmp_path)
-    old_path = target_path.rstrip("/") + "._upsert_old"
-    if os.path.exists(old_path):  # leftover from a crashed previous swap
+    for name, content in (marker_files or {}).items():
+        if not name.startswith(("_", ".")):
+            raise ValueError(f"marker file {name!r} must start with '_' or '.'")
+        with open(os.path.join(tmp_path, name), "w") as fh:
+            fh.write(content)
+    if os.path.exists(old_path) and os.path.exists(target_path):
+        # Leftover aside copy from a crash AFTER the new table landed —
+        # the target is intact, so the aside copy is safe to drop.
         shutil.rmtree(old_path)
     if os.path.exists(target_path):
         os.rename(target_path, old_path)

@@ -12,12 +12,14 @@ every instant. At scale the summary table is keyed by a
 low-cardinality dimension and is orders of magnitude smaller than the
 stream history.
 
-Exactly-once caveat: foreachBatch replays a failed batch; because this
-sink ADDS onto stored partials (not idempotent per replay), restart
-semantics are at-least-once for a batch that crashed mid-upsert. The
-upsert itself is crash-safe (old summary intact until the swap); for
-end-to-end exactly-once, store the last applied epoch_id next to the
-summary and skip batches already applied — noted, not implemented.
+Exactly-once: foreachBatch replays a failed batch, and this sink ADDS
+onto stored partials — so each batch must be applied at most once. The
+last applied epoch_id is persisted as a ``_applied_epoch`` marker file
+written into the staged summary directory BEFORE the swap (see
+``upsert_parquet(marker_files=...)``), making epoch and data visible
+atomically: a replayed epoch_id <= the stored one is skipped, a crash
+before the swap leaves the old epoch (and old partials) intact, and
+there is no window where the data advanced but the epoch did not.
 """
 
 from __future__ import annotations
@@ -45,6 +47,11 @@ def start_incremental_aggregate(
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).json(source_dir)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_file = os.path.join(summary_path, "_applied_epoch")
+        if os.path.exists(epoch_file):
+            with open(epoch_file) as fh:
+                if int(epoch_id) <= int(fh.read().strip()):
+                    return  # replayed epoch: partials already include it
         partial = batch_df.groupBy(key).agg(
             F.count(F.lit(1)).alias("n"), F.sum(value).alias("total")
         )
@@ -58,7 +65,13 @@ def start_incremental_aggregate(
         else:
             merged = partial
         # collect to driver is NOT used: upsert rewrites via Spark jobs
-        upsert_parquet(spark, summary_path, merged, [key])
+        upsert_parquet(
+            spark,
+            summary_path,
+            merged,
+            [key],
+            marker_files={"_applied_epoch": str(int(epoch_id))},
+        )
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
