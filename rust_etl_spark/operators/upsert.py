@@ -29,6 +29,22 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def restore_aside(target_path: str) -> bool:
+    """Recover from a crash that landed between the swap's two renames:
+    the previous table was moved aside to ``._upsert_old`` but the new
+    one never arrived, so the aside copy is the only surviving full
+    table. Rename it back; return True if a restore happened.
+
+    Callers that read table state (markers, stored partials) BEFORE
+    invoking :func:`upsert_parquet` must call this first, so their
+    reads see the recovered table rather than a missing directory."""
+    old_path = target_path.rstrip("/") + "._upsert_old"
+    if os.path.exists(old_path) and not os.path.exists(target_path):
+        os.rename(old_path, target_path)
+        return True
+    return False
+
+
 def upsert_parquet(
     spark: SparkSession,
     target_path: str,
@@ -44,13 +60,14 @@ def upsert_parquet(
     the new table version — callers use this to persist e.g. the last
     applied streaming epoch with exactly-once semantics. Names must
     start with ``_`` or ``.`` so parquet readers ignore them."""
+    for name in marker_files or {}:
+        # Validate before any Spark job runs: an invalid name must not
+        # cost a full parquet write or leave a stray staging directory.
+        if not name.startswith(("_", ".")):
+            raise ValueError(f"marker file {name!r} must start with '_' or '.'")
     tmp_path = target_path.rstrip("/") + "._upsert_tmp"
     old_path = target_path.rstrip("/") + "._upsert_old"
-    if os.path.exists(old_path) and not os.path.exists(target_path):
-        # Crash landed between the two swap renames: the previous table
-        # was moved aside but the new one never arrived. The aside copy
-        # is the only surviving full table — restore it before merging.
-        os.rename(old_path, target_path)
+    restore_aside(target_path)
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
         kept = target.join(updates.select(*keys), keys, "left_anti")
@@ -59,8 +76,6 @@ def upsert_parquet(
         merged = updates
     merged.write.mode("overwrite").parquet(tmp_path)
     for name, content in (marker_files or {}).items():
-        if not name.startswith(("_", ".")):
-            raise ValueError(f"marker file {name!r} must start with '_' or '.'")
         with open(os.path.join(tmp_path, name), "w") as fh:
             fh.write(content)
     if os.path.exists(old_path) and os.path.exists(target_path):

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rust_etl_spark.operators.upsert import upsert_parquet
+from rust_etl_spark.operators.upsert import restore_aside, upsert_parquet
 
 
 def start_incremental_aggregate(
@@ -42,16 +42,35 @@ def start_incremental_aggregate(
 ):
     """Maintain ``summary_path`` = per-``key`` (n, total of ``value``)
     over all JSON-lines files that ever landed in ``source_dir``."""
+    import json
     import os
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).json(source_dir)
+    # Epoch ids are per-checkpoint (restart at 0 with a fresh
+    # checkpoint_dir), so the marker records WHICH checkpoint the epoch
+    # belongs to; a marker from a different checkpoint is stale and must
+    # not suppress new batches.
+    ckpt_id = os.path.abspath(checkpoint_dir)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # A crash between the swap's two renames leaves the summary only
+        # in the '._upsert_old' aside copy. Restore it BEFORE reading
+        # the epoch marker or the stored partials — otherwise a replayed
+        # epoch sees an empty table, merges batch-only partials, and the
+        # later restore inside upsert_parquet anti-joins the recovered
+        # rows away (permanent loss of accumulated partials).
+        restore_aside(summary_path)
         epoch_file = os.path.join(summary_path, "_applied_epoch")
         if os.path.exists(epoch_file):
             with open(epoch_file) as fh:
-                if int(epoch_id) <= int(fh.read().strip()):
-                    return  # replayed epoch: partials already include it
+                raw = fh.read().strip()
+            try:
+                marker = json.loads(raw)
+                applied, marker_ckpt = int(marker["epoch"]), marker.get("ckpt")
+            except (json.JSONDecodeError, TypeError, KeyError):
+                applied, marker_ckpt = int(raw), None  # legacy bare-int marker
+            if marker_ckpt in (None, ckpt_id) and int(epoch_id) <= applied:
+                return  # replayed epoch: partials already include it
         partial = batch_df.groupBy(key).agg(
             F.count(F.lit(1)).alias("n"), F.sum(value).alias("total")
         )
@@ -70,7 +89,9 @@ def start_incremental_aggregate(
             summary_path,
             merged,
             [key],
-            marker_files={"_applied_epoch": str(int(epoch_id))},
+            marker_files={
+                "_applied_epoch": json.dumps({"epoch": int(epoch_id), "ckpt": ckpt_id})
+            },
         )
 
     return (

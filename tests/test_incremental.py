@@ -82,6 +82,13 @@ def _force_epoch_replay(ckpt: str) -> None:
         (f for f in os.listdir(commits) if not f.startswith(".")), key=int
     )
     os.remove(os.path.join(commits, latest))
+    # Hadoop's local ChecksumFileSystem keeps a '.<n>.crc' twin; leaving
+    # it behind makes the restart's write-temp-then-rename of the
+    # re-created commit fail with FileAlreadyExistsException (surfaced
+    # as SparkConcurrentModificationException). A real crash loses both.
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
 
 def test_ingest_crash_replay_no_duplicates(spark, tmp_path):
@@ -138,6 +145,14 @@ def test_aggregate_sink_crash_replay_not_double_counted(spark, tmp_path):
     got = {r["k"]: (r["n"], r["total"]) for r in spark.read.parquet(summary).collect()}
     assert got == {"x": (1, 1.0), "y": (1, 2.0)}  # not doubled
 
+    # Positive proof the replay took the SKIP path (not a lucky merge):
+    # the marker still records the originally-applied epoch 0 for this
+    # checkpoint — a re-apply would have rewritten it.
+    with open(os.path.join(summary, "_applied_epoch")) as fh:
+        marker = json.loads(fh.read())
+    assert marker["epoch"] == 0
+    assert marker["ckpt"] == os.path.abspath(ckpt)
+
     # ...and genuinely new data after the replay still lands.
     _drop_file(src, "b.jsonl", [{"k": "x", "v": 3.0}])
     q3 = start_incremental_aggregate(spark, src, summary, ckpt, schema, "k", "v")
@@ -147,3 +162,81 @@ def test_aggregate_sink_crash_replay_not_double_counted(spark, tmp_path):
         q3.stop()
     got = {r["k"]: (r["n"], r["total"]) for r in spark.read.parquet(summary).collect()}
     assert got == {"x": (2, 4.0), "y": (1, 2.0)}
+
+
+def test_aggregate_sink_swap_crash_plus_replay_keeps_partials(spark, tmp_path):
+    """Worst-case double fault: the machine dies BETWEEN the swap's two
+    renames (summary only exists as the '._upsert_old' aside copy) AND
+    the epoch commit was lost, so the restarted stream replays the
+    epoch. merge_batch must restore the aside copy BEFORE reading the
+    epoch marker — otherwise the replayed epoch sees no summary, merges
+    batch-only partials, and the restore inside upsert then anti-joins
+    the accumulated partials away permanently."""
+    from rust_etl_spark.streaming.aggregate_sink import start_incremental_aggregate
+
+    src = str(tmp_path / "landing")
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt_agg")
+    os.makedirs(src)
+    schema = "k string, v double"
+
+    _drop_file(src, "a.jsonl", [{"k": "x", "v": 1.0}, {"k": "y", "v": 2.0}])
+    q = start_incremental_aggregate(spark, src, summary, ckpt, schema, "k", "v")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _drop_file(src, "b.jsonl", [{"k": "x", "v": 3.0}])
+    q2 = start_incremental_aggregate(spark, src, summary, ckpt, schema, "k", "v")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # Simulate the crash window: epoch 1's commit never landed, and the
+    # swap stopped after rename #1 (table moved aside, new one absent).
+    _force_epoch_replay(ckpt)
+    os.rename(summary, summary + "._upsert_old")
+
+    q3 = start_incremental_aggregate(spark, src, summary, ckpt, schema, "k", "v")
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    got = {r["k"]: (r["n"], r["total"]) for r in spark.read.parquet(summary).collect()}
+    assert got == {"x": (2, 4.0), "y": (1, 2.0)}  # nothing lost, nothing doubled
+
+
+def test_aggregate_sink_fresh_checkpoint_not_suppressed(spark, tmp_path):
+    """Epoch ids are per-checkpoint: a rebuilt checkpoint restarts at
+    epoch 0. The marker left by the OLD checkpoint (epoch >= 0) must be
+    recognized as stale — not silently skip every new batch."""
+    from rust_etl_spark.streaming.aggregate_sink import start_incremental_aggregate
+
+    src1 = str(tmp_path / "landing1")
+    src2 = str(tmp_path / "landing2")
+    summary = str(tmp_path / "summary")
+    os.makedirs(src1)
+    os.makedirs(src2)
+    schema = "k string, v double"
+
+    _drop_file(src1, "a.jsonl", [{"k": "x", "v": 1.0}])
+    q = start_incremental_aggregate(
+        spark, src1, summary, str(tmp_path / "ckpt_old"), schema, "k", "v"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # New checkpoint + new source: its epoch 0 is NOT the old epoch 0.
+    _drop_file(src2, "b.jsonl", [{"k": "x", "v": 3.0}, {"k": "z", "v": 5.0}])
+    q2 = start_incremental_aggregate(
+        spark, src2, summary, str(tmp_path / "ckpt_new"), schema, "k", "v"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["k"]: (r["n"], r["total"]) for r in spark.read.parquet(summary).collect()}
+    assert got == {"x": (2, 4.0), "z": (1, 5.0)}  # new batch applied, not skipped
