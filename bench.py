@@ -7,6 +7,15 @@ Prints exactly ONE JSON line:
 Each query is forced end-to-end with a noop sink (full plan executes,
 nothing is collected to the driver). One tiny warm-up query first so
 JVM/codegen startup is not billed to the first headline query.
+
+Variance note (three rounds of evidence, r1-r3): individual sub-second
+queries on local[32] swing up to +/-30% between runs of UNCHANGED code
+(JIT, GC, page cache), while the 22-query headline TOTAL is
+reproducible to ~1%. Compare totals across rounds; treat any
+single-query delta smaller than its reported "variance" spread as
+noise. Each query runs 3x and reports the min (steady state); the
+per-query max-min spread ships in the JSON so noise is visible in the
+artifact instead of inferred.
 """
 
 from __future__ import annotations
@@ -75,33 +84,44 @@ def main() -> None:
     # Warm-up: tiny scan exercises session + parquet reader + codegen.
     load_table(spark, sf_dir, "region").count()
 
-    # min-of-2 per query: first execution pays codegen/JIT, the min
-    # reflects steady-state throughput and damps environment noise.
-    def run_set(names: list[str]) -> dict[str, float]:
+    # min-of-3 per query: first execution pays codegen/JIT, the min
+    # reflects steady-state throughput. The max-min spread is reported
+    # alongside so single-query noise is visible in the artifact.
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
+        spreads: dict[str, float] = {}
         for name in names:
             q = catalog.get(name)
-            best = float("inf")
-            for _ in range(2):
+            runs = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 _force(q.fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        return timings
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            spreads[name] = round(max(runs) - min(runs), 3)
+        return timings, spreads
 
-    timings = run_set(HEADLINE)
-    extended = run_set(EXTENDED)
+    timings, variance = run_set(HEADLINE)
+    extended, variance_ext = run_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_min_of_2",
+                "metric": "headline_queries_total_wall_min_of_3",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "variance": variance,
                 "queries_extended": extended,
+                "variance_extended": variance_ext,
                 "extended_total": round(sum(extended.values()), 3),
+                "note": (
+                    "per-query values are min-of-3; 'variance' is the "
+                    "max-min spread per query — sub-second queries swing "
+                    "up to ~30% on unchanged code, the headline total is "
+                    "reproducible to ~1%; compare totals across rounds"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
