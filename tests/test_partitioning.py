@@ -86,6 +86,171 @@ def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(zed).count() == li.count()
 
 
+# ------------------------------------------------------- skew torture
+#
+# At 100 TB the killer is rarely volume — it is one pathological key: a
+# null/default user owning a fifth of the fact table, or one shingle
+# present in every document. These fixtures synthesize exactly that and
+# assert (a) results stay correct and (b) the skew lever actually
+# bounds the per-task fan-out (salt spread / day-bucketing / df-cap).
+
+HOT_USER = 7
+N_EVENTS = 20_000
+HOT_FRAC = 0.2
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def _skewed_events(spark):
+    """20k events, user 7 owning 20% of them, spread over ~100 days so
+    per-user-day counts stay small relative to the hot user's total."""
+    n_hot = int(N_EVENTS * HOT_FRAC)
+    return spark.range(N_EVENTS).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < n_hot, F.lit(HOT_USER))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(2000)) + 100)
+        .alias("user_id"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(20)) == 0, F.lit("signup"))
+        .otherwise(F.lit("click"))
+        .alias("event_type"),
+        # ~100 distinct days, microsecond clock, deterministic
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100 * DAY_US)).alias("e_us"),
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """One user owns 20% of the fact side. The salted join must (a)
+    return the same result as the plain join and (b) actually split the
+    hot key across n_salts sub-keys — visible both in the plan (join on
+    __salt) and in the per-salt row distribution."""
+    n_salts = 8
+    ev = _skewed_events(spark)
+    users = spark.range(3000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("segment")
+    )
+
+    plain = ev.join(users, "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("segment").alias("s")
+    )
+    salted = salted_join(
+        ev, users, "user_id", n_salts=n_salts, probe_salt_source="event_id"
+    )
+    salted_agg = salted.agg(F.count(F.lit(1)).alias("n"), F.sum("segment").alias("s"))
+    assert plain.collect() == salted_agg.collect()
+
+    # Salt is a real join key, not dropped before the shuffle.
+    assert "__salt" in _plan(
+        salted_join(ev, users, "user_id", n_salts=n_salts, probe_salt_source="event_id")
+    )
+
+    # Fan-out bound: the hot key's largest per-salt slice must be close
+    # to fair-share (total/n_salts), never the unsplit total.
+    hot_total = int(N_EVENTS * HOT_FRAC)
+    per_salt = (
+        ev.filter(F.col("user_id") == HOT_USER)
+        .withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int"))
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(per_salt) == n_salts
+    assert max(r["count"] for r in per_salt) <= 2 * hot_total // n_salts
+
+
+def test_range_join_day_buckets_bound_hot_user(spark, tmp_path):
+    """events_range_join on a table where one user owns 20% of events:
+    results must match a brute-force range join, and the (user, day)
+    bucketing must keep every join group near one user-DAY of events —
+    not the hot user's 4,000-event lifetime."""
+    from rust_etl_spark.plans.events_queries import events_range_join
+
+    sf_skew = str(tmp_path / "sf_skew")
+    # ts written as long nanos: load_table's nanosAsLong path renames it
+    # to ts_ns exactly as with the driver-generated fixtures.
+    _skewed_events(spark).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("e_us") * 1000).alias("ts"),
+    ).write.parquet(os.path.join(sf_skew, "events.parquet"))
+
+    got = {
+        r["signup_id"]: r["n_follow"]
+        for r in events_range_join(spark, sf_skew).collect()
+    }
+
+    ev = load_table(spark, sf_skew, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts_ns div 1000").alias("e_us")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("e_us").alias("s_us")
+    )
+    brute = (
+        s.join(ev.select("user_id", "e_us"), "user_id")
+        .filter((F.col("e_us") > F.col("s_us")) & (F.col("e_us") <= F.col("s_us") + DAY_US))
+        .groupBy("signup_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+    expect = {r["signup_id"]: r["n_follow"] for r in brute.collect()}
+    assert got == expect and len(got) > 0
+
+    # Bucket-bound check: largest (user, day) group ~= one hot user-day
+    # (~40 events here), orders of magnitude under the hot lifetime.
+    hot_total = int(N_EVENTS * HOT_FRAC)
+    biggest = (
+        ev.groupBy("user_id", F.expr(f"e_us div {DAY_US}").alias("bkt"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert biggest <= hot_total // 20  # one day, not one lifetime
+
+
+def test_jaccard_df_cap_drops_universal_shingle(spark, tmp_path):
+    """One shingle with df = N (a boilerplate phrase in every document)
+    must be dropped by the df-cap, so the posting-list self-join stays
+    bounded — while a genuinely near-duplicate pair (sharing RARE
+    shingles) is still found."""
+    from rust_etl_spark.operators.dedup import JACCARD_DF_CAP, JACCARD_SHINGLE_N
+    from rust_etl_spark.functions.textfns import tokens, word_shingles
+
+    n_docs = 200
+    boiler = "all rights reserved by the original publisher"
+    dup_body = "quarterly revenue grew nine percent on strong cloud demand"
+    rows = []
+    for i in range(n_docs):
+        if i in (11, 12):  # planted near-dup pair
+            body = dup_body
+        else:
+            body = f"unique{i} document body number{i} topic{i % 7} text{i}"
+        rows.append((i, f"{boiler} {body}", "en", "synthetic", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_skew = str(tmp_path / "sf_docs")
+    docs.write.parquet(os.path.join(sf_skew, "documents.parquet"))
+
+    from rust_etl_spark.operators.dedup import dedup_ngram_jaccard
+
+    out = dedup_ngram_jaccard(spark, sf_skew).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(11, 12)]
+    assert out[0]["jaccard"] >= 0.5  # rare-shingle overlap, not boilerplate
+
+    # The pathological shingle really is df ~= N pre-cap...
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens("text"), JACCARD_SHINGLE_N))
+        ).alias("sh"),
+    )
+    df_counts = sh.groupBy("sh").count()
+    assert df_counts.agg(F.max("count")).first()[0] == n_docs > JACCARD_DF_CAP
+    # ...and every posting list surviving the cap is bounded by it.
+    surviving_max = (
+        df_counts.filter(F.col("count") <= JACCARD_DF_CAP).agg(F.max("count")).first()[0]
+    )
+    assert surviving_max <= JACCARD_DF_CAP
+
+
 def test_salted_join_matches_plain_join(spark):
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
     orders = load_table(spark, SF, "orders").select(
