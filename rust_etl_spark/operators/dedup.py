@@ -252,22 +252,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, a: str, b: str, max_rounds: int = 50) -> DataFrame:
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge list in canonical (u > v) orientation, no
+    self-loops, no duplicates."""
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _star_round(c: DataFrame) -> DataFrame:
+    """One large-star + small-star pass (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond', SoCC'14) over a canonical
+    (u > v) edge list. The combined operator's fixpoint is a star
+    forest: every node linked directly to its component minimum."""
+    # Large-star: per node u over its FULL neighborhood, link every
+    # strictly-larger neighbor to m = min(neighbors + u). Halves long
+    # chains every pass instead of walking them one hop per round.
+    s = c.unionByName(c.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    big = (
+        s.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    c1 = _canonical_edges(big)
+    # Small-star: per node u over its SMALLER neighbors (canonical
+    # attachment), link them and u itself to their minimum.
+    mins2 = c1.groupBy("u").agg(F.min("v").alias("m"))
+    small = c1.join(mins2, "u").select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        mins2.select("u", F.col("m").alias("v"))
+    )
+    return _canonical_edges(small)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str,
+    b: str,
+    max_rounds: int = 50,
+    star_after: int = 5,
+    stats: dict | None = None,
+) -> DataFrame:
     """(u, lbl) for every node of the undirected pair graph, where lbl
     is the minimum node id in its connected component.
 
-    Distributed min-label propagation; ``max_rounds`` is a safety bound
-    far above any near-dup graph diameter (convergence is checked each
-    round). Property-tested against a union-find reference in
-    tests/test_properties.py.
+    Hybrid strategy: distributed min-label propagation (one join +
+    groupBy-min per round, O(diameter) rounds — 2-3 on the band-induced
+    quasi-cliques near-dup graphs form) for up to ``star_after``
+    rounds; if still unconverged the graph is high-diameter
+    (chain/lattice-shaped), so it escalates to alternating
+    large-star/small-star rounds, which converge in O(log^2 n) — the
+    same DataFrame ops, but each pass halves path lengths instead of
+    walking one hop. The star phase is seeded with the propagation
+    phase's partial labels (label edges preserve connectivity), so no
+    progress is discarded. ``stats`` (optional dict) receives
+    ``plain_rounds`` / ``star_rounds`` for observability; property-
+    tested against a union-find reference in tests/test_properties.py.
     """
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .localCheckpoint(eager=True)  # fixed frontier reused every round
     )
-    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
-    for _ in range(max_rounds):
+    nodes = edges.select("u").distinct()
+    labels = nodes.withColumn("lbl", F.col("u"))
+    plain_rounds = 0
+    converged = False
+    for _ in range(min(star_after, max_rounds)):
+        plain_rounds += 1
         prop = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
@@ -288,8 +345,48 @@ def connected_components(pairs: DataFrame, a: str, b: str, max_rounds: int = 50)
         )
         labels = step.select("u", "lbl")
         if step.filter(F.col("moved")).limit(1).count() == 0:
+            converged = True
             break
-    return labels
+    if stats is not None:
+        stats["plain_rounds"] = plain_rounds
+        stats["star_rounds"] = 0
+    if converged:
+        return labels
+    # Escalation: seed the star graph with the original edges PLUS the
+    # partial labels (u -> lbl edges), canonicalized.
+    label_edges = labels.filter(F.col("lbl") != F.col("u")).select(
+        "u", F.col("lbl").alias("v")
+    )
+    c = _canonical_edges(edges.unionByName(label_edges)).localCheckpoint(eager=True)
+
+    def sig(frame: DataFrame) -> tuple:
+        # Cheap order-independent fingerprint of the materialized edge
+        # set for convergence detection (count + hash sum).
+        return tuple(
+            frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: exact and overflow-proof under ANSI mode
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).first()
+        )
+
+    prev = sig(c)
+    star_rounds = 0
+    for _ in range(max_rounds):
+        star_rounds += 1
+        c = _star_round(c).localCheckpoint(eager=True)
+        cur = sig(c)
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["star_rounds"] = star_rounds
+    # Fixpoint is a star forest: every non-min node has exactly the
+    # edge (u, component_min); component minima only appear as v.
+    lbl = c.groupBy("u").agg(F.min("v").alias("lbl"))
+    return nodes.join(lbl, "u", "left").select(
+        "u", F.coalesce("lbl", F.col("u")).alias("lbl")
+    )
 
 
 @register(

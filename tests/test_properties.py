@@ -74,6 +74,47 @@ def test_connected_components_matches_union_find(spark, edge_list):
     assert got == want
 
 
+def test_connected_components_chain_escalates_to_star(spark):
+    """A 50-node chain is the propagation worst case: O(diameter) = 49
+    rounds of min-label walking. The hybrid must escalate to
+    large-star/small-star after `star_after` rounds and finish the
+    whole component in O(log^2 n) star rounds — correct labels, far
+    fewer total rounds than the diameter."""
+    from rust_etl_spark.operators.dedup import connected_components
+
+    n = 50
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    stats: dict = {}
+    got = {
+        r["u"]: r["lbl"]
+        for r in connected_components(df, "a", "b", stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}  # one component, min label 0
+    assert stats["plain_rounds"] == 5  # propagation alone could not finish
+    assert 1 <= stats["star_rounds"] <= 10  # log-round convergence, not O(n)
+    assert stats["plain_rounds"] + stats["star_rounds"] < n - 1
+
+
+def test_connected_components_easy_graph_stays_in_propagation(spark):
+    """Quasi-clique graphs (the near-dup shape) converge in 2-3
+    propagation rounds — the star escalation must NOT trigger."""
+    from rust_etl_spark.operators.dedup import connected_components
+
+    # two 4-cliques
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    stats: dict = {}
+    got = {
+        r["u"]: r["lbl"]
+        for r in connected_components(df, "a", "b", stats=stats).collect()
+    }
+    want = {**{i: 0 for i in range(4)}, **{i: 10 for i in range(10, 14)}}
+    assert got == want
+    assert stats["star_rounds"] == 0 and stats["plain_rounds"] <= 3
+
+
 @given(
     st.lists(
         st.one_of(
