@@ -187,10 +187,27 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b) MinHash-LSH near-dup candidate pairs (doc_a < doc_b)."""
+def minhash_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> DataFrame:
+    """(doc_a, doc_b) MinHash-LSH near-dup candidate pairs (doc_a < doc_b).
+
+    ``(k, band_rows)`` defaults to the shipped operating point; the
+    parameterization exists so recall can be characterized against
+    exact-Jaccard ground truth (see ``minhash_recall`` and the recall
+    table in CATALOG.md)."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_bands(minhash_wide(docs))
+    return minhash_candidate_pairs_df(docs, k, band_rows)
+
+
+def minhash_candidate_pairs_df(
+    docs: DataFrame, k: int = MINHASH_K, band_rows: int = MINHASH_BAND_ROWS
+) -> DataFrame:
+    """Candidate-pair core over an arbitrary (doc_id, text) frame."""
+    bands = minhash_bands(minhash_wide(docs, k), k, band_rows)
     # One aggregation per bucket, then in-bucket pair expansion — NOT a
     # self-join: a self-join would recompute the whole signature
     # pipeline per side (no plan reuse), and the bucket cap already
@@ -618,6 +635,104 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter(jac >= MINHASH_VERIFY_TAU)
         .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
     )
+
+
+# ------------------------------------------- minhash recall measurement
+
+#: Candidate recall of MinHash-LSH banding vs exact distinct-token
+#: Jaccard ground truth at the tau=0.8 operating point, measured by
+#: ``minhash_recall`` on the deterministic planted-pair corpus from
+#: ``recall_corpus`` (500 docs over a 2000-word vocabulary; 150 planted
+#: near-dup pairs at J≈0.82/0.87/0.94; unrelated pairs J≈0.02).
+#: Theory column: P(candidate) = 1-(1-s^r)^b at s=0.8, b=k/r bands —
+#: the WORST point of the >=tau range, so measured recall (averaged
+#: over planted similarities above tau) sits above it. The shipped
+#: (8,2) point keeps expected recall >0.98 at half the hashes of
+#: (16,2); (8,4)'s 2 bands is the cautionary row — banding too wide
+#: collapses recall. tests/test_minhash_recall.py re-measures the
+#: shipped setting and floors it at 0.95.
+#:
+#: On the driver fixture itself (documents.parquet, ~30-word
+#: vocabulary) tau=0.8 ground truth is DEGENERATE — 32,191 of 124,750
+#: pairs (26%) qualify because most distinct-token sets cover nearly
+#: the whole tiny vocabulary. There the bucket cap routes the resulting
+#: mega-buckets to the linear full-signature path by design
+#: (dedup_minhash_groups); capped-LSH recall alone is 0.04 and
+#: LSH∪groups system recall 0.42 on that corpus shape — numbers that
+#: characterize the cap's mega-cluster routing, not the banding.
+MINHASH_RECALL_TABLE: tuple[tuple[int, int, float, float], ...] = (
+    # (k, band_rows, theoretical_recall@0.8, measured_recall_planted)
+    (8, 1, 1.0000, 1.0000),
+    (8, 2, 0.9832, 0.9867),
+    (8, 4, 0.6514, 0.8000),
+    (16, 2, 0.9997, 1.0000),
+    (16, 4, 0.8785, 0.9400),
+)
+
+
+def recall_corpus(spark: SparkSession) -> DataFrame:
+    """Deterministic planted-pair corpus for recall measurement:
+    500 docs over a 2000-word vocabulary; doc 2i is a 60-word draw,
+    doc 2i+1 replaces m ∈ {2, 4, 6} of its words (J = (60-m)/(60+m) ≈
+    0.94 / 0.875 / 0.82 — all above tau=0.8), for i < 150; remaining
+    docs are unrelated draws (expected J ≈ 0.02). Seeded stdlib PRNG:
+    bit-identical corpus on every run/machine."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{j:04d}" for j in range(2000)]
+    rows = []
+    for i in range(250):
+        base = rng.sample(vocab, 60)
+        rows.append((2 * i, " ".join(base)))
+        if i < 150:
+            m = (2, 4, 6)[i % 3]
+            partner = base[:]
+            out = [w for w in vocab if w not in set(base)]
+            for slot in rng.sample(range(60), m):
+                partner[slot] = out.pop(rng.randrange(len(out)))
+            rows.append((2 * i + 1, " ".join(partner)))
+        else:
+            rows.append((2 * i + 1, " ".join(rng.sample(vocab, 60))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def exact_jaccard_pairs_df(docs: DataFrame, tau: float) -> DataFrame:
+    """Ground-truth (doc_a, doc_b) pairs with exact distinct-token
+    Jaccard >= ``tau`` — the same similarity the verify stage of
+    ``dedup_minhash_verified`` computes, but over ALL pairs.
+
+    All-pairs by construction (O(n^2) crossJoin): a measurement tool
+    for fixture-scale recall characterization, NOT a query path — at
+    scale, ground truth is estimated on a sampled block instead.
+    """
+    toks = docs.select("doc_id", distinct_tokens("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    pairs = ta.crossJoin(tb).filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    jac = inter / (F.size("t_a") + F.size("t_b") - inter).cast("double")
+    return pairs.filter(jac >= tau).select("doc_a", "doc_b")
+
+
+def minhash_recall(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+    tau: float = MINHASH_VERIFY_TAU,
+) -> float:
+    """Measured candidate recall of the (k, band_rows) LSH setting over
+    a (doc_id, text) frame: |candidates ∩ truth| / |truth| for truth =
+    exact Jaccard >= tau."""
+    truth = exact_jaccard_pairs_df(docs, tau)
+    cand = minhash_candidate_pairs_df(docs, k, band_rows)
+    n_truth = truth.count()
+    if n_truth == 0:
+        return 1.0
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+    return hit / n_truth
 
 
 # ------------------------------------------------ end-to-end curation
