@@ -62,3 +62,86 @@ def test_upsert_cleans_stale_old_when_target_intact(spark, tmp_path):
     upsert_parquet(spark, path, updates, ["k"])
     assert _read(spark, path) == {1: "a", 2: "B"}
     assert not os.path.exists(path + "._upsert_old")
+
+
+# ------------------------------------------------------ bucketed upsert
+
+
+def _bucket_dirs(path):
+    import os
+
+    return {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+
+
+def test_bucketed_upsert_insert_update_keep(spark, tmp_path):
+    from rust_etl_spark.operators.upsert import upsert_parquet_bucketed
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    upsert_parquet_bucketed(spark, path, base, ["k"], n_buckets=8)
+    assert _read(spark, path) == {i: f"v{i}" for i in range(100)}
+
+    updates = spark.createDataFrame([(7, "NEW"), (200, "ins")], "k long, v string")
+    upsert_parquet_bucketed(spark, path, updates, ["k"], n_buckets=8)
+    want = {i: f"v{i}" for i in range(100)} | {7: "NEW", 200: "ins"}
+    assert _read(spark, path) == want
+
+    # idempotent: re-running the same merge converges to the same table
+    upsert_parquet_bucketed(spark, path, updates, ["k"], n_buckets=8)
+    assert _read(spark, path) == want
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The point of the layout: bucket directories whose keys are not in
+    the update batch must keep their exact files (no rewrite)."""
+    from rust_etl_spark.operators.upsert import upsert_parquet_bucketed
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    upsert_parquet_bucketed(spark, path, base, ["k"], n_buckets=8)
+    before = _bucket_dirs(path)
+    assert len(before) == 8  # 100 keys cover all 8 buckets
+
+    updates = spark.createDataFrame([(7, "NEW")], "k long, v string")
+    upsert_parquet_bucketed(spark, path, updates, ["k"], n_buckets=8)
+    after = _bucket_dirs(path)
+
+    changed = [d for d in before if before[d] != after[d]]
+    assert len(changed) == 1  # exactly key 7's bucket
+    assert _read(spark, path)[7] == "NEW"
+
+
+def test_bucketed_upsert_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between a bucket's two renames leaves that bucket only in
+    its aside dir; the next call restores it before merging."""
+    import os
+
+    from rust_etl_spark.operators.upsert import upsert_parquet_bucketed
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    upsert_parquet_bucketed(spark, path, base, ["k"], n_buckets=8)
+
+    victim = next(d for d in os.listdir(path) if d.startswith("__bucket="))
+    os.rename(os.path.join(path, victim), os.path.join(path, ".aside_" + victim))
+
+    updates = spark.createDataFrame([(7, "NEW")], "k long, v string")
+    upsert_parquet_bucketed(spark, path, updates, ["k"], n_buckets=8)
+    assert _read(spark, path) == {i: f"v{i}" for i in range(100)} | {7: "NEW"}
+    assert not any(d.startswith(".aside_") for d in os.listdir(path))
+
+
+def test_bucketed_upsert_bucket_count_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    from rust_etl_spark.operators.upsert import upsert_parquet_bucketed
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    upsert_parquet_bucketed(spark, path, base, ["k"], n_buckets=8)
+    with pytest.raises(ValueError, match="bucketed 8-way"):
+        upsert_parquet_bucketed(spark, path, base, ["k"], n_buckets=16)
