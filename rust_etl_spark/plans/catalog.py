@@ -127,6 +127,7 @@ def _ensure_loaded() -> None:
     # Imports are for their @register side effects.
     from rust_etl_spark.plans import (  # noqa: F401
         advanced_agg,
+        curation_queries,
         etl_parity,
         events_queries,
         functions_queries,
