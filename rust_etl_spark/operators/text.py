@@ -314,3 +314,60 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
     return toks.select("doc_id", F.md5(F.concat_ws(" ", "t")).alias("fingerprint"))
+
+
+WINNOW_K = 3  #: tokens per k-gram
+WINNOW_W = 4  #: consecutive k-gram hashes per winnowing window
+
+
+def _winnow_oracle() -> str:
+    from rust_etl_spark.functions.hashing import md5_long60_sql
+    from rust_etl_spark.functions.textfns import word_shingles_sql
+
+    grams = word_shingles_sql(tokens_sql("text"), WINNOW_K)
+    w = WINNOW_W
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform({grams}, s -> {md5_long60_sql('s')}) AS hs
+            FROM documents
+        )
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(hs) >= {w}
+                 THEN list_transform(range(1, len(hs) - {w} + 2),
+                                     i -> list_min(hs[i:i + {w} - 1]))
+                 ELSE [] END)) AS fp
+        FROM g
+    """
+
+
+@register(
+    "doc_winnow",
+    oracle=_winnow_oracle(),
+    doc=f"Winnowing fingerprints (Schleimer et al., MOSS): min rolling hash of each "
+    f"window of {WINNOW_W} consecutive {WINNOW_K}-gram hashes, deduplicated — local "
+    "fingerprints that survive edits outside the window, the overlap-detection "
+    "complement to the whole-document doc_fingerprint. Map-side only (per-row array "
+    "folds, no shuffle); docs shorter than one window emit no fingerprints.",
+)
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window minimum over the rolling k-gram hash stream, distinct
+    per doc. Selecting by min VALUE (window position discarded, picks
+    deduplicated) is the set-fingerprint form used for containment
+    checks; positional variants add the offset column.
+    """
+    from rust_etl_spark.functions.hashing import md5_long60
+    from rust_etl_spark.functions.textfns import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    # Materialize grams, then hashes, before the window fold (see the
+    # word_shingles PERF note: no CSE across lambda re-evaluations).
+    grams = toks.select("doc_id", word_shingles(F.col("t"), WINNOW_K).alias("g"))
+    hashed = grams.select("doc_id", F.transform("g", md5_long60).alias("hs"))
+    idx = F.when(
+        F.size("hs") >= WINNOW_W,
+        F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(idx, lambda i: F.array_min(F.slice("hs", i, WINNOW_W)))
+    return hashed.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
