@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: run BEFORE any end-of-round commit.
+#
+#   bash scripts/verify_round.sh            # full gate (~12 min)
+#
+# Stages:
+#   1. driver-sim  — vanilla SparkSession, every queries() entry vs its
+#      DuckDB oracle at sf0.01, zero-cardinality audit (the driver's
+#      own contract).
+#   2. sf0.1 parity sweep — same oracle comparisons at 10x the rows;
+#      rounding-boundary divergence (engine round() semantics on exact
+#      .5 products) only manifests with enough rows. This is the net
+#      that catches hash bugs that are green at sf0.01.
+#   3. full pytest suite — the CLAUDE.md invariant.
+#   4. bench smoke — bench.py must print exactly one JSON line.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 driver-sim (vanilla session, sf0.01) =="
+python scripts/driver_sim.py
+
+echo "== 2/4 oracle parity sweep at sf0.1 =="
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_oracle_parity.py -q
+
+echo "== 3/4 full test suite =="
+python -m pytest tests/ -q
+
+echo "== 4/4 bench smoke (sf0.01) =="
+out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py 2>/dev/null | tail -1)
+echo "$out"
+python - "$out" <<'EOF'
+import json, sys
+d = json.loads(sys.argv[1])
+assert d["unit"] == "sec" and d["queries"], "bench JSON malformed"
+EOF
+
+echo "VERIFY_ROUND: ALL GREEN"
