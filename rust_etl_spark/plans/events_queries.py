@@ -64,6 +64,46 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOP_WIDTH_US = 10 * 60 * 1_000_000
+HOP_SLIDE_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "events_hop_window",
+    oracle=f"""
+        WITH b AS (
+            SELECT epoch_us(ts) AS t_us, event_type, value FROM events
+        ), cand AS (
+            SELECT t_us, event_type, value,
+                   unnest([ (t_us // {HOP_SLIDE_US}) * {HOP_SLIDE_US},
+                            ((t_us // {HOP_SLIDE_US}) - 1) * {HOP_SLIDE_US} ]) AS w_start_us
+            FROM b
+        )
+        SELECT w_start_us, event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM cand
+        WHERE t_us >= w_start_us AND t_us < w_start_us + {HOP_WIDTH_US}
+        GROUP BY 1, 2
+    """,
+    doc="Hopping (sliding) 10-minute window with 5-minute slide: each event lands in "
+    "exactly width/slide = 2 overlapping windows. Spark's F.window(slide) generates "
+    "the overlap natively; the oracle materializes the two candidate window starts "
+    "per event by integer bucket arithmetic. Single shuffle keyed (window, type).",
+)
+def events_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros("w.start").alias("w_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 @register(
     "events_sessionize",
     oracle=f"""

@@ -251,6 +251,39 @@ def test_jaccard_df_cap_drops_universal_shingle(spark, tmp_path):
     assert surviving_max <= JACCARD_DF_CAP
 
 
+def test_range_partitioned_write_has_disjoint_file_spans(spark, tmp_path):
+    """Range clustering must produce parquet files whose [min, max]
+    spans on the cluster column are pairwise disjoint — that
+    disjointness is exactly what lets footer stats skip whole files for
+    range predicates."""
+    import pyarrow.parquet as pq
+
+    from rust_etl_spark.sinks import write_range_partitioned
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts_ns", "value")
+    out = str(tmp_path / "ev_range")
+    write_range_partitioned(ev, out, "ts_ns", n_partitions=8)
+
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        stats = [
+            md.row_group(rg).column(i).statistics
+            for rg in range(md.num_row_groups)
+            for i in range(md.row_group(rg).num_columns)
+            if md.row_group(rg).column(i).path_in_schema == "ts_ns"
+        ]
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(spans) >= 4
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file time spans must not overlap"
+    # identical content, just relaid
+    assert spark.read.parquet(out).count() == ev.count()
+
+
 def test_salted_join_matches_plain_join(spark):
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
     orders = load_table(spark, SF, "orders").select(
