@@ -135,6 +135,48 @@ def test_bucketed_upsert_recovers_mid_swap_crash(spark, tmp_path):
     assert not any(d.startswith(".aside_") for d in os.listdir(path))
 
 
+def test_bucketed_upsert_matches_dict_model(spark):
+    """Property: any sequence of update batches applied via the
+    bucketed upsert equals the same sequence applied to a plain dict
+    (last write per key wins, all other keys untouched)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rust_etl_spark.operators.upsert import upsert_parquet_bucketed
+
+    @given(
+        st.lists(
+            st.dictionaries(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=99),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+    def run(batches):
+        root = tempfile.mkdtemp(prefix="bucketed_upsert_prop_")
+        try:
+            path = f"{root}/tbl"
+            model: dict[int, int] = {}
+            for batch in batches:
+                df = spark.createDataFrame(list(batch.items()), "k long, v long")
+                upsert_parquet_bucketed(spark, path, df, ["k"], n_buckets=4)
+                model.update(batch)
+            got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+            assert got == model
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_bucketed_upsert_bucket_count_mismatch_raises(spark, tmp_path):
     import pytest
 
