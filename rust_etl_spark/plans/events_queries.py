@@ -228,6 +228,57 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.filter(F.col("is_order") == 0).select("event_id", "user_id", "last_order_us")
 
 
+#: Max staleness for the tolerance-bounded as-of join. 9000 days sits
+#: inside the fixture's order→event lag distribution (8190–9799 days:
+#: TPC-H-ish order dates are 1990s, events are present-day), so the
+#: oracle exercises BOTH branches — matched-within-tolerance and
+#: expired-to-NULL — instead of degenerating to all-NULL.
+ASOF_TOLERANCE_US = 9000 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "events_asof_tolerance",
+    oracle=f"""
+        SELECT e.event_id, e.user_id,
+               (SELECT max(epoch_us(o.o_orderdate)) FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+                  AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - {ASOF_TOLERANCE_US}
+               ) AS last_order_us
+        FROM events e
+    """,
+    doc="Tolerance-bounded as-of join: latest order at-or-before each event but no "
+    "staler than the tolerance, else NULL - the feature-freshness variant every "
+    "serving pipeline needs. Same union-then-window shape as events_asof_join "
+    "(the window max IS the latest candidate, so one post-filter implements the "
+    "bound); one shuffle on the key, no per-row probe.",
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("t_us"), "event_id", F.lit(0).alias("is_order")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        ntz_epoch_us("o_orderdate").alias("t_us"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_order"),
+    )
+    both = orders.unionByName(ev)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us"), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    latest = F.max(F.when(F.col("is_order") == 1, F.col("t_us"))).over(w)
+    enriched = both.withColumn(
+        "last_order_us",
+        # The running max is the single latest candidate; if IT is too
+        # stale, nothing within tolerance exists for this row.
+        F.when(F.col("t_us") - latest <= ASOF_TOLERANCE_US, latest),
+    )
+    return enriched.filter(F.col("is_order") == 0).select("event_id", "user_id", "last_order_us")
+
+
 @register(
     "events_json_extract",
     oracle="""
