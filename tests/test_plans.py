@@ -92,6 +92,31 @@ def test_range_join_keys_include_time_bucket(spark):
     assert key_lines and all("user_id" in l and "bkt" in l for l in key_lines), key_lines
 
 
+def test_dataset_mix_is_map_side_only(spark):
+    """Weighted mixing is a pure filter: any Exchange means the
+    hash-threshold filter regressed into something shuffled."""
+    plan = _formatted_plan(spark, "dataset_mix")
+    assert "Exchange" not in plan
+
+
+def test_doc_winnow_has_no_shuffle(spark):
+    """Winnowing is per-row array folds; fingerprint explosion stays
+    map-side. Any Exchange is a regression."""
+    plan = _formatted_plan(spark, "doc_winnow")
+    assert "Exchange" not in plan
+
+
+def test_shuffle_deterministic_is_single_bucket_shuffle(spark):
+    """The deterministic permutation must shuffle once on the hash
+    bucket — a global (empty-partition) window would single-thread it."""
+    import re
+
+    plan = _formatted_plan(spark, "shuffle_deterministic")
+    assert "Exchange SinglePartition" not in plan
+    key_lines = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert key_lines and all("bucket" in l for l in key_lines), key_lines
+
+
 def test_window_range_frame_has_no_global_window(spark):
     """The RANGE-frame window is a two-level prefix sum partitioned by
     value bucket (round-2 re-plan): a window with an empty partition
