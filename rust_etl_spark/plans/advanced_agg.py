@@ -238,6 +238,71 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_table",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(count(*) - count(o_orderdate) AS BIGINT) AS null_dates,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders
+    """,
+    doc="One-pass table profile (row count, per-column distincts, null count, "
+    "min/max/avg) — the data-quality summary every ingestion run records. A "
+    "single global aggregate: map-side partials, one tiny final reduce.",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("null_dates"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+HIST_BUCKET_W = 30_000.0
+HIST_MAX_BUCKET = 19
+
+
+@register(
+    "histogram_fixed",
+    oracle=f"""
+        SELECT least(CAST(floor(o_totalprice / {HIST_BUCKET_W}) AS BIGINT),
+                     {HIST_MAX_BUCKET}) AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    doc=f"Fixed-width value histogram of order totals ({HIST_BUCKET_W:.0f}-wide "
+    f"buckets, overflow clamped to bucket {HIST_MAX_BUCKET}) — the distribution "
+    "profile behind data-drift checks; one shuffle on the bucket id.",
+)
+def histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_BUCKET_W).cast("long"),
+        F.lit(HIST_MAX_BUCKET).cast("long"),
+    )
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
     "approx_distinct",
     oracle=None,  # sketch internals are engine-specific; bounded in tests/test_approx.py
     doc="Approximate sketches: HLL distinct + approximate percentile per return flag (rows-only check).",
