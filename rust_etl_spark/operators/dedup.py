@@ -330,6 +330,16 @@ def connected_components(
     progress is discarded. ``stats`` (optional dict) receives
     ``plain_rounds`` / ``star_rounds`` for observability; property-
     tested against a union-find reference in tests/test_properties.py.
+
+    ``star_after=5`` is measured, not guessed: the sf0.1 MinHash
+    candidate graph converges in exactly 5 propagation rounds (2.52 s);
+    escalating earlier is slower there (star_after=3 → 3.44 s,
+    star_after=2 → 3.21 s) because a star round (two sub-phases +
+    distinct) costs more than a propagation round. The escalation pays
+    off only on genuinely high-diameter graphs (50-chain: 49 plain
+    rounds vs ~7 hybrid). A fused round-0 initialization (labels =
+    min of closed neighborhood) was also measured slower (2.97 s vs
+    2.46 s) despite saving a round — kept out.
     """
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
