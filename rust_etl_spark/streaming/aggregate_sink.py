@@ -1,16 +1,24 @@
-"""Incrementally-maintained aggregate: a checkpointed file stream keeps
-a materialized per-key summary parquet up to date as new data lands —
+"""Incrementally-maintained aggregates: a checkpointed file stream
+keeps a materialized summary parquet up to date as new data lands —
 the streaming analogue of a nightly GROUP BY recompute, without
-rescanning history.
+rescanning history. Two variants share one exactly-once core:
 
-Mechanics: each micro-batch is pre-aggregated (count/sum per key),
-then merged into the summary table with ``upsert_parquet`` by summing
-onto the stored partials (count and sum are algebraic, so batch
-partials compose exactly). The summary stays queryable between
+- ``start_incremental_aggregate``: per-key (n, total) — the global
+  rollup.
+- ``start_incremental_window_aggregate``: per-(time-bucket, key) —
+  the continuous aggregate / hypertable-rollup pattern: the summary is
+  a time-series of window partials, old buckets stop changing once the
+  stream moves past them, and a batch only ever rewrites the buckets
+  it touches.
+
+Mechanics: each micro-batch is pre-aggregated (count/sum per group
+key), then merged into the summary table with ``upsert_parquet`` by
+summing onto the stored partials (count and sum are algebraic, so
+batch partials compose exactly). The summary stays queryable between
 batches, and the upsert's rename-aside swap keeps a live directory at
 every instant. At scale the summary table is keyed by a
-low-cardinality dimension and is orders of magnitude smaller than the
-stream history.
+low-cardinality dimension (plus a time bucket) and is orders of
+magnitude smaller than the stream history.
 
 Exactly-once: foreachBatch replays a failed batch, and this sink ADDS
 onto stored partials — so each batch must be applied at most once. The
@@ -20,30 +28,35 @@ written into the staged summary directory BEFORE the swap (see
 atomically: a replayed epoch_id <= the stored one is skipped, a crash
 before the swap leaves the old epoch (and old partials) intact, and
 there is no window where the data advanced but the epoch did not.
+Markers are bound to their checkpoint (epoch ids restart at 0 with a
+fresh checkpoint_dir), and a crash between the swap's two renames is
+repaired by restoring the aside copy BEFORE any state is read.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rust_etl_spark.operators.upsert import restore_aside, upsert_parquet
 
-
-def start_incremental_aggregate(
+def _start_aggregate_sink(
     spark: SparkSession,
     source_dir: str,
     summary_path: str,
     checkpoint_dir: str,
     schema: T.StructType | str,
-    key: str,
-    value: str,
+    partial_fn: Callable[[DataFrame], DataFrame],
+    group_keys: list[str],
 ):
-    """Maintain ``summary_path`` = per-``key`` (n, total of ``value``)
-    over all JSON-lines files that ever landed in ``source_dir``."""
+    """Shared exactly-once additive-merge core. ``partial_fn`` turns a
+    micro-batch into (group_keys..., n, total) partials."""
     import json
     import os
+
+    from rust_etl_spark.operators.upsert import restore_aside, upsert_parquet
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).json(source_dir)
     # Epoch ids are per-checkpoint (restart at 0 with a fresh
@@ -71,14 +84,12 @@ def start_incremental_aggregate(
                 applied, marker_ckpt = int(raw), None  # legacy bare-int marker
             if marker_ckpt in (None, ckpt_id) and int(epoch_id) <= applied:
                 return  # replayed epoch: partials already include it
-        partial = batch_df.groupBy(key).agg(
-            F.count(F.lit(1)).alias("n"), F.sum(value).alias("total")
-        )
+        partial = partial_fn(batch_df)
         if os.path.exists(summary_path):
             prev = spark.read.parquet(summary_path)
             merged = (
                 prev.unionByName(partial)
-                .groupBy(key)
+                .groupBy(*group_keys)
                 .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
             )
         else:
@@ -88,7 +99,7 @@ def start_incremental_aggregate(
             spark,
             summary_path,
             merged,
-            [key],
+            group_keys,
             marker_files={
                 "_applied_epoch": json.dumps({"epoch": int(epoch_id), "ckpt": ckpt_id})
             },
@@ -98,4 +109,68 @@ def start_incremental_aggregate(
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def start_incremental_aggregate(
+    spark: SparkSession,
+    source_dir: str,
+    summary_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    key: str,
+    value: str,
+):
+    """Maintain ``summary_path`` = per-``key`` (n, total of ``value``)
+    over all JSON-lines files that ever landed in ``source_dir``."""
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(value).alias("total")
+        )
+
+    return _start_aggregate_sink(
+        spark, source_dir, summary_path, checkpoint_dir, schema, partial, [key]
+    )
+
+
+def start_incremental_window_aggregate(
+    spark: SparkSession,
+    source_dir: str,
+    summary_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    ts_col: str,
+    key: str,
+    value: str,
+    window: str = "5 minutes",
+):
+    """Continuous aggregate (hypertable-rollup pattern): maintain
+    ``summary_path`` = per-(tumbling ``window`` start, ``key``)
+    (n, total of ``value``) over everything that ever landed.
+
+    The time bucket joins the merge key, so late/replayed data sums
+    into ITS bucket and never disturbs others; at scale the upsert's
+    anti-join touches only the buckets present in the batch, and the
+    summary doubles as the serving table for time-series dashboards
+    (the batch-query mirror is ``events_window_agg`` /
+    ``date_trunc_rollup``)."""
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.groupBy(F.window(ts_col, window).alias("w"), key)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(value).alias("total"))
+            .select(
+                F.unix_micros("w.start").alias("w_start_us"), key, "n", "total"
+            )
+        )
+
+    return _start_aggregate_sink(
+        spark,
+        source_dir,
+        summary_path,
+        checkpoint_dir,
+        schema,
+        partial,
+        ["w_start_us", key],
     )

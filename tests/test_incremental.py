@@ -207,6 +207,82 @@ def test_aggregate_sink_swap_crash_plus_replay_keeps_partials(spark, tmp_path):
     assert got == {"x": (2, 4.0), "y": (1, 2.0)}  # nothing lost, nothing doubled
 
 
+def test_window_aggregate_matches_batch_recompute_and_survives_replay(spark, tmp_path):
+    """Continuous aggregate: the per-(window, key) summary after
+    several drops equals a from-scratch windowed GROUP BY, late data
+    sums into its own bucket only, and a replayed epoch is skipped."""
+    from rust_etl_spark.streaming.aggregate_sink import (
+        start_incremental_window_aggregate,
+    )
+
+    src = str(tmp_path / "landing")
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt_win")
+    os.makedirs(src)
+    schema = "k string, v double, ts timestamp"
+
+    def run():
+        q = start_incremental_window_aggregate(
+            spark, src, summary, ckpt, schema, "ts", "k", "v", window="5 minutes"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    m = 60 * 1_000_000  # one minute in epoch micros
+    _drop_file(
+        src,
+        "a.jsonl",
+        [
+            {"k": "x", "v": 1.0, "ts": "2024-01-01T00:01:00"},
+            {"k": "x", "v": 2.0, "ts": "2024-01-01T00:04:00"},
+            {"k": "y", "v": 5.0, "ts": "2024-01-01T00:07:00"},
+        ],
+    )
+    run()
+    base_us = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00 UTC
+    got = {
+        (r["w_start_us"], r["k"]): (r["n"], r["total"])
+        for r in spark.read.parquet(summary).collect()
+    }
+    assert got == {
+        (base_us, "x"): (2, 3.0),
+        (base_us + 5 * m, "y"): (1, 5.0),
+    }
+
+    # Late arrival for the FIRST window plus new data for a later one:
+    # the late row sums into its own bucket, others are untouched.
+    _drop_file(
+        src,
+        "b.jsonl",
+        [
+            {"k": "x", "v": 10.0, "ts": "2024-01-01T00:02:00"},  # late
+            {"k": "y", "v": 7.0, "ts": "2024-01-01T00:11:00"},
+        ],
+    )
+    run()
+    want = {
+        (base_us, "x"): (3, 13.0),
+        (base_us + 5 * m, "y"): (1, 5.0),
+        (base_us + 10 * m, "y"): (1, 7.0),
+    }
+    got = {
+        (r["w_start_us"], r["k"]): (r["n"], r["total"])
+        for r in spark.read.parquet(summary).collect()
+    }
+    assert got == want
+
+    # Crash-replay of the last epoch must not double-count any bucket.
+    _force_epoch_replay(ckpt)
+    run()
+    got = {
+        (r["w_start_us"], r["k"]): (r["n"], r["total"])
+        for r in spark.read.parquet(summary).collect()
+    }
+    assert got == want
+
+
 def test_aggregate_sink_fresh_checkpoint_not_suppressed(spark, tmp_path):
     """Epoch ids are per-checkpoint: a rebuilt checkpoint restarts at
     epoch 0. The marker left by the OLD checkpoint (epoch >= 0) must be
