@@ -143,6 +143,13 @@ def _ensure_loaded() -> None:
         relational,
         tpch_shapes,
     )
-    from rust_etl_spark.operators import dedup, grouped, multimodal, similarity, text  # noqa: F401
+    from rust_etl_spark.operators import (  # noqa: F401
+        dedup,
+        grouped,
+        multimodal,
+        packing,
+        similarity,
+        text,
+    )
 
     _LOADED = True

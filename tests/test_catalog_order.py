@@ -18,7 +18,7 @@ MANDATED = {
 
 #: Queries allowed to ship without a DuckDB oracle (rows-only): sketch
 #: internals / Arrow batch plumbing, value-bounded in pytest instead.
-ROWS_ONLY_OK = {"multimodal_features", "approx_distinct", "kmeans_lloyd"}
+ROWS_ONLY_OK = {"multimodal_features", "approx_distinct", "kmeans_lloyd", "pack_sequences"}
 
 
 def test_grade_order_is_exactly_the_window():
