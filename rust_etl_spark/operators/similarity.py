@@ -428,3 +428,73 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id"))
         .limit(TOPK)
     )
+
+
+# --------------------------------------------------- int8 quantization
+
+
+def _quantize_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    return f"""
+        WITH d AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, e, len(e) AS n_dims,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+            FROM d
+        ), q AS (
+            SELECT vec_id, n_dims, scale,
+                   list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(sign(x) * floor(abs(x) / scale + 0.5) AS BIGINT)
+                   END) AS qv
+            FROM s
+        )
+        SELECT vec_id,
+               CAST(n_dims AS BIGINT) AS n_dims,
+               {round_half_up_sql('scale', 6)} AS scale,
+               CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_checksum,
+               CAST(list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b)
+                    AS BIGINT) AS q_l1
+        FROM q
+    """
+
+
+@register(
+    "embedding_quantize",
+    oracle=_quantize_oracle(),
+    doc="Symmetric int8 quantization of embedding vectors (per-vector max-abs "
+    "scale, explicit half-up rounding so both engines quantize bit-identically) "
+    "- the 4x vector-store compression step; verified through scalar outputs "
+    "(scale, checksum, L1 mass) since array columns don't hash portably. "
+    "Map-side only: per-row array folds, zero shuffles.",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization: q_i = sign(x_i) * floor(|x_i| / scale
+    + 0.5) with scale = max|x| / 127. The explicit sign/floor form (not
+    round()) is deliberate: engines disagree on round-half behavior at
+    exact .5 products, while floor of identical IEEE doubles cannot
+    diverge. Reference-free: standard vector-DB compression."""
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", to_double_array("embedding").alias("e"))
+    scale = F.array_max(F.transform("e", F.abs)) / 127.0
+    s = d.select("vec_id", "e", F.size("e").cast("long").alias("n_dims"), scale.alias("scale"))
+    qv = F.transform(
+        "e",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            (F.signum(x) * F.floor(F.abs(x) / F.col("scale") + 0.5)).cast("long")
+        ),
+    )
+    q = s.select("vec_id", "n_dims", "scale", qv.alias("qv"))
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "n_dims",
+        round_half_up(F.col("scale"), 6).alias("scale"),
+        F.aggregate("qv", zero, lambda a, x: a + x).alias("q_checksum"),
+        F.aggregate(F.transform("qv", F.abs), zero, lambda a, x: a + x).alias("q_l1"),
+    )
