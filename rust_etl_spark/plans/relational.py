@@ -284,6 +284,42 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_null_safe",
+    oracle="""
+        WITH f AS (
+            SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pr
+            FROM orders
+        ), dim AS (
+            SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS pr,
+                   coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT-TIER') AS tier
+            FROM orders
+        )
+        SELECT d.tier, count(*) AS n
+        FROM f JOIN dim d ON f.pr IS NOT DISTINCT FROM d.pr
+        GROUP BY d.tier
+    """,
+    doc="Null-safe equi-join (Spark <=> / SQL IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other instead of silently dropping - the semantics dirty "
+    "dimension keys need; a plain = here would lose the whole NULL tier and "
+    "fail the hash. Broadcast dim, single fact scan.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pr = F.nullif("o_orderpriority", F.lit("1-URGENT"))
+    fact = orders.select("o_orderkey", pr.alias("pr"))
+    dim = (
+        orders.select(pr.alias("pr"))
+        .distinct()
+        .select("pr", F.coalesce("pr", F.lit("URGENT-TIER")).alias("tier"))
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["pr"].eqNullSafe(dim["pr"]))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "join_semi_anti",
     oracle="""
         SELECT c_custkey, c_name FROM customer
