@@ -228,6 +228,43 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.filter(F.col("is_order") == 0).select("event_id", "user_id", "last_order_us")
 
 
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, value, epoch_us(ts) AS t_us,
+                   lead(epoch_us(ts)) OVER (
+                        PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS nxt_us
+            FROM events
+        )
+        SELECT user_id,
+               round(sum(value * (nxt_us - t_us)) / sum(nxt_us - t_us), 4) AS twa
+        FROM t WHERE nxt_us IS NOT NULL
+        GROUP BY user_id
+    """,
+    doc="Time-weighted average per user (the TSDB time_weight aggregate): each "
+    "sample weighted by how long it was current (interval to the next sample, "
+    "last-observation-carried-forward; trailing open interval dropped). Samples "
+    "at irregular cadence make the plain avg lie - this is the honest mean for "
+    "sensor/metric streams. One shuffle on user_id (window + re-aggregate share "
+    "the partitioning); integer-microsecond interval arithmetic.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts_ns div 1000"), F.col("event_id"))
+    t = ev.select(
+        "user_id",
+        "value",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        F.lead(F.expr("ts_ns div 1000")).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    dt = F.col("nxt_us") - F.col("t_us")
+    return t.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twa")
+    )
+
+
 #: Max staleness for the tolerance-bounded as-of join. 9000 days sits
 #: inside the fixture's order→event lag distribution (8190–9799 days:
 #: TPC-H-ish order dates are 1990s, events are present-day), so the
