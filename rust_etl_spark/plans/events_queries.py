@@ -265,6 +265,65 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAPFILL_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour resampling grid
+
+
+@register(
+    "events_gap_fill",
+    oracle=f"""
+        WITH pts AS (
+            SELECT user_id, bkt, value FROM (
+                SELECT user_id, epoch_us(ts) // {GAPFILL_BUCKET_US} AS bkt, value,
+                       row_number() OVER (
+                            PARTITION BY user_id, epoch_us(ts) // {GAPFILL_BUCKET_US}
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                FROM events) t
+            WHERE rn = 1
+        ), bounds AS (
+            SELECT user_id, min(bkt) AS mn, max(bkt) AS mx FROM pts GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(range(mn, mx + 1)) AS bkt FROM bounds
+        )
+        SELECT g.user_id, g.bkt,
+               last_value(p.value IGNORE NULLS) OVER (
+                    PARTITION BY g.user_id ORDER BY g.bkt
+                    ROWS UNBOUNDED PRECEDING) AS value
+        FROM grid g LEFT JOIN pts p ON p.user_id = g.user_id AND p.bkt = g.bkt
+    """,
+    doc="Gap-fill resampling (TSDB locf): per user, the value series resampled "
+    "onto a dense 6-hour grid between that user's first and last sample, empty "
+    "buckets forward-filled with the last observation (in-bucket survivor chosen "
+    "by max event time with event_id tie-break). Grid generation is an in-row "
+    "sequence explode - no driver loop, no cross join; fill is a per-user window. "
+    "Carried values are raw doubles (no derived-float rounding hazard).",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.expr("ts_ns div 1000")
+    pts = (
+        ev.select(
+            "user_id",
+            # integer division: exact bucket boundaries, no FP floor
+            F.expr(f"(ts_ns div 1000) div {GAPFILL_BUCKET_US}").alias("bkt"),
+            "value",
+            t_us.alias("t_us"),
+            "event_id",
+        )
+        .groupBy("user_id", "bkt")
+        .agg(F.max_by("value", F.struct("t_us", "event_id")).alias("value"))
+    )
+    bounds = pts.groupBy("user_id").agg(F.min("bkt").alias("mn"), F.max("bkt").alias("mx"))
+    grid = bounds.select("user_id", F.explode(F.sequence("mn", "mx")).alias("bkt"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(pts, ["user_id", "bkt"], "left").select(
+        "user_id", "bkt", F.last("value", ignorenulls=True).over(w).alias("value")
+    )
+
+
 #: Max staleness for the tolerance-bounded as-of join. 9000 days sits
 #: inside the fixture's order→event lag distribution (8190–9799 days:
 #: TPC-H-ish order dates are 1990s, events are present-day), so the
