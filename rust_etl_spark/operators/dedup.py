@@ -647,6 +647,54 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- incremental dedup
+
+#: Fixture split for the incremental-dedup query: doc_id < split plays
+#: the stored corpus, doc_id >= split the incoming batch.
+CORPUS_SPLIT = 250
+
+
+@register(
+    "dedup_against_corpus",
+    oracle=f"""
+        WITH {_MINHASH_CORE}, band AS (
+            SELECT doc_id, i // {MINHASH_BAND_ROWS} AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+            FROM mh GROUP BY doc_id, i // {MINHASH_BAND_ROWS}
+        ), corpus AS (
+            SELECT DISTINCT band, sig FROM band WHERE doc_id < {CORPUS_SPLIT}
+        ), incoming AS (
+            SELECT doc_id, band, sig FROM band WHERE doc_id >= {CORPUS_SPLIT}
+        )
+        SELECT i.doc_id, CAST(count(DISTINCT i.band) AS BIGINT) AS n_hit_bands
+        FROM incoming i JOIN corpus c ON i.band = c.band AND i.sig = c.sig
+        GROUP BY i.doc_id
+    """,
+    doc=f"Incremental dedup: incoming docs (doc_id >= {CORPUS_SPLIT}) probe the "
+    f"STORED corpus band index (doc_id < {CORPUS_SPLIT}) - the production shape "
+    "for a growing corpus: cost scales with the batch, the corpus is never "
+    "re-paired with itself, and at 100 TB the index is a pre-bucketed table "
+    "the probe equi-joins into. n_hit_bands = how many bands collide.",
+)
+def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric candidate probe. The corpus side reduces to DISTINCT
+    (band, sig) keys — at scale that's the persisted LSH index (written
+    once, bucketed on the join key); only the incoming batch computes
+    fresh signatures. Complement of the batch-mode self-candidate
+    generation in ``minhash_candidate_pairs``."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(minhash_wide(docs))
+    corpus = (
+        bands.filter(F.col("doc_id") < CORPUS_SPLIT).select("band", "sig").distinct()
+    )
+    incoming = bands.filter(F.col("doc_id") >= CORPUS_SPLIT)
+    return (
+        incoming.join(corpus, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("band").alias("n_hit_bands"))
+    )
+
+
 # ------------------------------------------- minhash recall measurement
 
 #: Candidate recall of MinHash-LSH banding vs exact distinct-token
