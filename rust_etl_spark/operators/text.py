@@ -316,6 +316,71 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", F.md5(F.concat_ws(" ", "t")).alias("fingerprint"))
 
 
+#: Gopher-style document-quality rule bounds (public heuristics from the
+#: Gopher / MassiveText filtering literature), tuned so the fixture
+#: exercises BOTH branches: word counts span 10-99 (min-words 40 fails
+#: ~40%), mean word length spans 3.7-5.3 (upper bound 4.5 splits near
+#: the median).
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 5000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 4.5
+
+
+def _gopher_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    toks = tokens_sql("text")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, ({toks}) AS tk FROM documents
+        ), m AS (
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+                   CASE WHEN len(tk) = 0 THEN 0.0
+                        ELSE list_reduce(list_transform(tk, x -> len(x)), (a, b) -> a + b)
+                             * 1.0 / len(tk) END AS mwl
+            FROM t
+        )
+        SELECT doc_id, n_words, {round_half_up_sql('mwl', 4)} AS mean_word_len,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL}) AS passes
+        FROM m
+    """
+
+
+@register(
+    "gopher_rules",
+    oracle=_gopher_oracle(),
+    doc=f"Gopher-style quality rules (public MassiveText heuristics): word count in "
+    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}] and mean word length in "
+    f"[{GOPHER_MIN_MWL}, {GOPHER_MAX_MWL}] - the rule-battery pattern behind web-corpus "
+    "filtering, emitting per-rule evidence plus the verdict. Map-side only "
+    "(token-array folds inside codegen), no shuffle.",
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(F.transform("tk", F.length), F.lit(0).cast("long"), lambda a, x: a + x)
+        / n
+    )
+    m = t.select("doc_id", n.cast("long").alias("n_words"), mwl.alias("mwl"))
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (F.col("mwl") >= GOPHER_MIN_MWL)
+        & (F.col("mwl") <= GOPHER_MAX_MWL)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        round_half_up(F.col("mwl"), 4).alias("mean_word_len"),
+        passes.alias("passes"),
+    )
+
+
 WINNOW_K = 3  #: tokens per k-gram
 WINNOW_W = 4  #: consecutive k-gram hashes per winnowing window
 
