@@ -381,6 +381,48 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+    from rust_etl_spark.functions.textfns import word_shingles_sql
+
+    grams = word_shingles_sql(tokens_sql("text"), 2)
+    return f"""
+        WITH g AS (
+            SELECT doc_id, unnest({grams}) AS gram FROM documents
+        ), c AS (
+            SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_grams,
+               CAST(max(cnt) AS BIGINT) AS top_gram_n,
+               {round_half_up_sql('max(cnt) * 1.0 / sum(cnt)', 4)} AS top_gram_frac
+        FROM c GROUP BY doc_id
+    """
+
+
+@register(
+    "repetition_ratio",
+    oracle=_repetition_oracle(),
+    doc="Repetition ratio: the mass of the most frequent 2-gram per document - "
+    "the spam/boilerplate signal from the Gopher rule family (looped phrases "
+    "dominate the gram distribution). Two aggregations sharing the doc_id "
+    "shuffle; docs shorter than one 2-gram emit no row.",
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_etl_spark.functions.rounding import round_half_up
+    from rust_etl_spark.functions.textfns import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    g = toks.select("doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("gram"))
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_gram_n"),
+        round_half_up(F.max("cnt") / F.sum("cnt"), 4).alias("top_gram_frac"),
+    )
+
+
 WINNOW_K = 3  #: tokens per k-gram
 WINNOW_W = 4  #: consecutive k-gram hashes per winnowing window
 
