@@ -478,3 +478,52 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))
     wins = F.transform(idx, lambda i: F.array_min(F.slice("hs", i, WINNOW_W)))
     return hashed.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+
+
+# ----------------------------------------------------- corpus n-grams
+
+NGRAM_FREQ_N = 2
+NGRAM_FREQ_TOPK = 25
+
+def _ngram_freq_oracle() -> str:
+    from rust_etl_spark.functions.textfns import word_shingles_sql
+
+    sh = word_shingles_sql(tokens_sql("text"), NGRAM_FREQ_N)
+    return f"""
+        WITH g AS (
+            SELECT unnest({sh}) AS gram FROM documents
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS freq
+        FROM g GROUP BY gram
+        ORDER BY freq DESC, gram
+        LIMIT {NGRAM_FREQ_TOPK}
+    """
+
+
+@register(
+    "ngram_counts",
+    oracle=_ngram_freq_oracle(),
+    doc=f"Corpus-wide top-{NGRAM_FREQ_TOPK} {NGRAM_FREQ_N}-gram frequencies — the "
+    "vocabulary/merge-pair statistic a BPE/tokenizer-training pass computes first. "
+    "Map-side shingle expansion, two-phase count, TakeOrderedAndProject top-k with "
+    "a lexicographic tie-break; the only shuffle key is the gram itself.",
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus n-grams by raw frequency (not per-doc distinct —
+    repeated use inside one doc counts, matching tokenizer-training
+    statistics). Extends the reference's text surface (SURVEY.md §2c);
+    at scale the gram key is high-cardinality and AQE-splittable, and
+    the final top-k never materializes the full count table on one
+    node (TakeOrderedAndProject).
+    """
+    from rust_etl_spark.functions.textfns import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("t"))
+    grams = toks.select(F.explode(word_shingles(F.col("t"), NGRAM_FREQ_N)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("gram"))
+        .limit(NGRAM_FREQ_TOPK)
+    )

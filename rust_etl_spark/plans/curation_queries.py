@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rust_etl_spark.functions.hashing import md5_long60, md5_long60_sql
+from rust_etl_spark.functions.textfns import tokens, tokens_sql, word_shingles, word_shingles_sql
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
 
@@ -108,6 +109,66 @@ def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct = F.when(F.col("lang") == k, F.lit(v)).otherwise(pct)
     return docs.filter(md5_long60(F.col("doc_id")) % 100 < pct).select(
         "doc_id", "lang", "source"
+    )
+
+
+DECON_NGRAM = 5
+#: doc_id % DECON_EVAL_MOD == 0 stands in for the held-out benchmark
+#: split; in production the eval side is a separate (tiny) table.
+DECON_EVAL_MOD = 4
+
+_DECON_SHINGLES_SQL = f"list_distinct({word_shingles_sql(tokens_sql('text'), DECON_NGRAM)})"
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_DECON_SHINGLES_SQL}) AS sh FROM documents
+        ), ev AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0
+        ), tr AS (
+            SELECT doc_id, sh,
+                   CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_total
+            FROM sh WHERE doc_id % {DECON_EVAL_MOD} != 0
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit, n_total
+        FROM tr JOIN ev USING (sh)
+        GROUP BY doc_id, n_total
+    """,
+    doc=f"Benchmark decontamination: flag training docs sharing any distinct "
+    f"{DECON_NGRAM}-gram with the held-out eval split (the GPT-3/Pile n-gram-overlap "
+    "scrub). Eval n-grams are DISTINCT-collapsed then broadcast — at 100 TB the "
+    "benchmark side is MBs, so the training scan never shuffles on content; per-doc "
+    "totals ride a doc_id window so no size join-back is needed.",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc count of distinct n-grams that also occur in the
+    eval split (docs with zero hits are clean and omitted).
+
+    Scale posture: the only shuffles are the per-doc window and the
+    final groupBy, both keyed on high-cardinality ``doc_id``; the
+    eval-side distinct set is broadcast (benchmarks are tiny relative
+    to a training corpus), so contaminated-doc detection costs one
+    linear pass over training shingles. Extends the reference's
+    corpus-hygiene surface (no equivalent op exists there; cf.
+    SURVEY.md §2c curation family).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), DECON_NGRAM))).alias("sh"),
+    )
+    ev = sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("sh").distinct()
+    tr = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).withColumn(
+        "n_total", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id", "n_total")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select("doc_id", "n_hit", "n_total")
     )
 
 
