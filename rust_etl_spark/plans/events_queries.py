@@ -447,3 +447,109 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("signup_id")
         .agg(F.count(F.lit(1)).alias("n_follow"))
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('day', min(ts) OVER (PARTITION BY user_id)) AS cohort_day,
+                   date_trunc('day', ts) AS act_day
+            FROM events
+        )
+        SELECT epoch_us(cohort_day) AS cohort_us,
+               CAST(date_diff('day', cohort_day, act_day) AS BIGINT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM act GROUP BY cohort_day, day_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen day, distinct-active counts "
+    "per (cohort, day-offset) cell — the standard product-analytics retention "
+    "triangle. First-seen rides a per-user window min (no self-join), so the whole "
+    "query is two shuffles: user_id, then the tiny (cohort, offset) key.",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle over event time.
+
+    Scale posture: the per-user ``min(ts)`` window replaces the usual
+    first-event self-join (one user_id shuffle instead of two plus a
+    join); the DISTINCT collapses per-(user, day) activity *before*
+    the final aggregate, so the last shuffle carries at most
+    users x active-days rows keyed by a small composite.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    act = ev.select(
+        "user_id",
+        F.date_trunc("day", F.min("ts").over(w)).alias("cohort_day"),
+        F.date_trunc("day", F.col("ts")).alias("act_day"),
+    ).distinct()
+    return (
+        act.groupBy("cohort_day", F.datediff("act_day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(ntz_epoch_us("cohort_day").alias("cohort_us"), "day_offset", "n_active")
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM events GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN u USING (user_id)
+            WHERE e.event_type = 'click' AND u.t_view IS NOT NULL AND e.ts > u.t_view
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+               CAST(count(t_click) AS BIGINT) AS n_click,
+               CAST(count(t_purchase) AS BIGINT) AS n_purchase
+        FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered funnel view -> click -> purchase: per-user earliest qualifying "
+    "timestamp per stage, each stage strictly after the previous one; output is "
+    "the stage-survivor counts. Every join/aggregate is keyed user_id (one "
+    "partitioning reused across all three stages).",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (order-sensitive, strict-after).
+
+    The stage cascade is three per-user conditional mins, each joined
+    back on ``user_id`` — co-partitioned with the previous stage, so
+    after the first shuffle the remaining stages are local. The final
+    count collapses to one row; nothing global ever sorts.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u.filter(F.col("t_view").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        u.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click"),
+            F.count("t_purchase").alias("n_purchase"),
+        )
+    )
