@@ -66,15 +66,26 @@ GRADE_ORDER: tuple[str, ...] = (
     "events_window_agg", "events_sessionize", "events_session_window",
     "events_asof_join", "events_range_join",
     # corpus-assembly family (round 4): the steps that turn a cleaned
-    # corpus into a training mix — first-class alongside dedup/similarity
+    # corpus into a training mix — first-class alongside dedup/similarity.
+    # decontaminate (benchmark n-gram-overlap scrub) joined late round 4,
+    # displacing rollup_agg (grouping-sets semantics stay past-window via
+    # cube_agg / grouping_sets_id under the local-strict harness).
     "sample_stratified", "dataset_mix", "shuffle_deterministic",
+    "decontaminate",
+    # event-time analytics: ordered funnel joined late round 4 (displaced
+    # window_running; running totals remain covered by window_range_frame
+    # in-window and window_running past-window)
+    "events_funnel",
     # core relational algebra
-    "scan_project", "filter_predicate", "groupby_agg", "agg_filter_sum",
-    "join_star", "sort_topk", "window_rank", "window_running",
+    "scan_project", "filter_predicate", "groupby_agg",
+    "join_star", "sort_topk", "window_rank",
     "join_semi_anti", "agg_distinct",
-    "rollup_agg", "groupby_having",
-    # TPC-H query shapes + full outer join
-    "q3_shipping_priority", "q10_returned_items", "join_outer_full",
+    "groupby_having",
+    # TPC-H query shapes + full outer join (q1 joined late round 4,
+    # displacing agg_filter_sum — the FILTER-clause variant stays
+    # past-window; q1 is the canonical wide-aggregate anchor)
+    "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
+    "join_outer_full",
     # advanced-agg representative
     "window_range_frame",
 )
