@@ -44,6 +44,13 @@ EXTENDED = [
     "events_json_extract",
     "kmeans_iterate",
     "fuzzy_blocked_match",
+    # late round-4 operators (secondary for the same comparability reason)
+    "decontaminate",
+    "ngram_counts",
+    "events_retention",
+    "events_funnel",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
 ]
 
 HEADLINE = [
