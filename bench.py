@@ -51,6 +51,9 @@ EXTENDED = [
     "events_funnel",
     "q1_pricing_summary",
     "q6_forecast_revenue",
+    "q18_large_volume",
+    "events_zscore",
+    "pii_pseudonymize",
 ]
 
 HEADLINE = [

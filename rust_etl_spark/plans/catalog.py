@@ -151,6 +151,7 @@ def _ensure_loaded() -> None:
         etl_parity,
         events_queries,
         functions_queries,
+        pii_queries,
         relational,
         tpch_shapes,
     )

@@ -553,3 +553,55 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").alias("n_purchase"),
         )
     )
+
+
+ZSCORE_THRESHOLD = 2.0
+
+
+def _zscore_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    z = "(value - mu) / sd"
+    return f"""
+        WITH s AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, event_type, value,
+               {round_half_up_sql(z, 2)} AS z
+        FROM events JOIN s USING (event_type)
+        WHERE abs({z}) > {ZSCORE_THRESHOLD}
+    """
+
+
+@register(
+    "events_zscore",
+    oracle=_zscore_oracle(),
+    doc=f"Per-type z-score outlier flagging: events whose value sits more than "
+    f"{ZSCORE_THRESHOLD:g} sample standard deviations from their type's mean "
+    "(~5% of this right-skewed fixture). Stats ride one tiny groupBy (rows = "
+    "distinct event types) broadcast back over the stream — the full table is "
+    "never shuffled.",
+)
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly gate: |value - mean(type)| / stddev(type) > threshold.
+
+    Scale posture: the per-type moment aggregate is partial
+    (map-side combine) and its result is a handful of rows, joined
+    back with an explicit broadcast — the events fact table stays
+    where it was read, no fact-side shuffle at any scale. The score
+    is rounded with the engine-portable ``round_half_up`` (see
+    functions/rounding.py) on both sides.
+    """
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > ZSCORE_THRESHOLD)
+        .select("event_id", "event_type", "value", round_half_up(z, 2).alias("z"))
+    )

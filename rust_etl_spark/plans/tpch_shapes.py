@@ -252,3 +252,69 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+Q18_QTY_MIN = 300.0
+
+
+@register(
+    "q18_large_volume",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > {Q18_QTY_MIN}
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               o_totalprice, total_qty
+        FROM big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    doc="TPC-H-Q18-shaped large-volume-customer query: aggregate the fact table "
+    "first (HAVING prunes ~99.7% of orders), then join the survivors back to "
+    "orders and customer. The expensive join runs on the post-aggregate slice, "
+    "not the raw fact table; top-100 is TakeOrderedAndProject with an o_orderkey "
+    "tie-break.",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg-then-join-back: which customers placed the largest orders.
+
+    Scale posture: sum(l_quantity) reduces lineitem to one row per
+    order with map-side partial aggregation before its only shuffle;
+    the > threshold filter then cuts that to a sliver, so the
+    orders/customer joins see thousands of rows, not billions — AQE
+    converts them to broadcasts at runtime. ``total_qty`` sums
+    whole-number doubles, so the HAVING boundary is exact on both
+    engines. o_orderdate is emitted as integer epoch micros (the
+    repo's portable timestamp convention).
+    """
+    from rust_etl_spark.plans.events_queries import ntz_epoch_us
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_MIN)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ntz_epoch_us("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
