@@ -54,6 +54,8 @@ EXTENDED = [
     "q18_large_volume",
     "events_zscore",
     "pii_pseudonymize",
+    "q5_local_supplier",
+    "q21_sole_late_supplier",
 ]
 
 HEADLINE = [

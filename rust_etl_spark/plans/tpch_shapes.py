@@ -318,3 +318,147 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H-Q5-shaped local-supplier revenue: 6-table star join where the "
+    "customer and supplier must share a nation, nation restricted to one region "
+    "and orders to a 2-year window. Dims (supplier/nation/region) broadcast; the "
+    "only shuffles are the two fact joins, both pre-filtered.",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation (TPC-H Q5 join topology).
+
+    Scale posture: region/nation filters prune before any join;
+    supplier and the nation/region dims broadcast (KB-sized), so only
+    lineitem⋈orders and ⋈customer shuffle — both on their natural
+    keys with the date filter already applied to orders. The
+    same-nation predicate rides the joined row (no extra join).
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+LATE_DAYS = 1000
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                                 > {LATE_DAYS} THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey, l_suppkey
+        ),
+        per_order AS (
+            SELECT l_orderkey, count(*) AS n_supp,
+                   sum(is_late) AS n_late
+            FROM flagged GROUP BY l_orderkey
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM flagged
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE flagged.is_late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 25
+    """,
+    doc=f"TPC-H-Q21-shaped sole-late-supplier count: on multi-supplier orders, "
+    f"the one supplier whose lineitem shipped > {LATE_DAYS} days after the order "
+    "date while every other supplier shipped on time. Decorrelated to one "
+    "per-(order,supplier) aggregate + one per-order aggregate instead of the "
+    "textbook EXISTS/NOT EXISTS double self-join of the fact table.",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-late-supplier analysis (TPC-H Q21 topology, ship-lag semantics).
+
+    The classic plan self-joins lineitem twice (EXISTS + NOT EXISTS).
+    At 100 TB that is two extra shuffles of the largest table. This
+    formulation aggregates once per (order, supplier) with a late
+    flag, once per order for supplier/late counts, then filters —
+    identical semantics (a supplier is "waiting" iff it is late and
+    the order's only late supplier among >1 suppliers), but lineitem
+    is shuffled exactly once and everything after operates on the
+    order-grain slice. The supplier dim broadcasts.
+
+    Adapted to this fixture's columns: no l_commitdate/l_receiptdate
+    exist, so "late" is ship-lag (l_shipdate - o_orderdate) beyond a
+    threshold (reference has no such query; extension surface).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > LATE_DAYS, 1
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        flagged.join(per_order, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
