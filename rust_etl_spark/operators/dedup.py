@@ -892,3 +892,97 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", score.alias("score")).filter(
         F.col("score") >= COSINE_NEARDUP_TAU
     )
+
+
+# ------------------------------------------- segment (paragraph) dedup
+
+SEGMENT_WIDTH = 3   #: tokens per segment (fixture docs are flat word streams)
+SEGMENT_DF_CAP = 2  #: segment counts as boilerplate when > this many docs share it
+
+_SEGMENT_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t) / {SEGMENT_WIDTH}.0) AS BIGINT))) AS i
+        FROM toks
+    ),
+    seg AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(t, i * {SEGMENT_WIDTH} + 1, i * {SEGMENT_WIDTH} + {SEGMENT_WIDTH}),
+                   ' ')) AS fp,
+               len(list_slice(t, i * {SEGMENT_WIDTH} + 1, i * {SEGMENT_WIDTH} + {SEGMENT_WIDTH}))
+                   AS seg_len
+        FROM idx
+    ),
+    freq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM seg GROUP BY fp)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN f.df > {SEGMENT_DF_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_segments,
+           CAST(sum(CASE WHEN f.df <= {SEGMENT_DF_CAP} THEN s.seg_len ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM seg s JOIN freq f USING (fp)
+    GROUP BY s.doc_id
+"""
+
+
+@register(
+    "dedup_segments",
+    oracle=_SEGMENT_ORACLE,
+    doc=f"C4-style segment (paragraph) dedup: fixed {SEGMENT_WIDTH}-token segments, "
+    f"corpus df > {SEGMENT_DF_CAP} marks boilerplate; per-doc kept/removed accounting.",
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-segment removal — the C4/MassiveText
+    "line dedup" stage, adapted to the fixture's flat word-stream docs
+    by chunking each document into fixed ``SEGMENT_WIDTH``-token
+    segments (real corpora would split on newlines instead; the
+    dataflow is identical).
+
+    Pipeline: chunk map-side (one projection, no shuffle) -> corpus
+    document-frequency per segment fingerprint (shuffle moves 16-byte
+    md5 keys + ids, never segment text — same posture as
+    ``dedup_exact_hash``) -> join the df back to the per-doc postings
+    and re-aggregate per doc. At 100 TB both shuffles key on
+    high-cardinality fingerprints so AQE can split any hot boilerplate
+    segment; the output is one row per document (ids + counters only).
+
+    Extension op (no reference analogue: the reference never inspects
+    document content — SURVEY.md §2b/§2c).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    w = SEGMENT_WIDTH
+    segs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), (F.ceil(F.size("t") / w)).cast("int") - F.lit(1)
+                    ),
+                    lambda i: F.slice("t", i * w + 1, w),
+                )
+            ).alias("seg_arr"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join("seg_arr", " ")).alias("fp"),
+            F.size("seg_arr").alias("seg_len"),
+        )
+    )
+    freq = segs.groupBy("fp").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        segs.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("df") > SEGMENT_DF_CAP).cast("long")).alias("dup_segments"),
+            F.sum(
+                F.when(F.col("df") <= SEGMENT_DF_CAP, F.col("seg_len")).otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+        )
+    )
