@@ -26,25 +26,58 @@ TABLES = (
 )
 
 
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Schema-robust event-time normalization (batch AND streaming).
+
+    Fixture vintages have stored ``events.ts`` as parquet
+    TIMESTAMP(NANOS) (scanned as a long under ``nanosAsLong``) and as
+    timestamp[us] (scanned as TIMESTAMP_NTZ). Downstream plans rely on
+    one contract regardless of vintage:
+
+      * ``ts_ns``  BIGINT — exact integer epoch nanoseconds
+      * ``ts``     TIMESTAMP (LTZ, UTC-exact, microsecond precision)
+
+    Dispatching on the scanned dtype mirrors the reference's
+    dtype-dispatched normalize (src/processor.rs:38-55) — the loader
+    tolerates upstream physical-type drift instead of hard-failing.
+    All expressions here are streaming-safe (no window/agg).
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # TIMESTAMP(NANOS) vintage via nanosAsLong: the long IS epoch ns.
+        df = df.withColumnRenamed("ts", "ts_ns")
+    elif isinstance(dt, T.TimestampNTZType):
+        # timestamp[us] (isAdjustedToUTC=false): the NTZ wall clock is the
+        # UTC instant. Integer timestampdiff avoids the session-zone shift
+        # an NTZ->LTZ cast would introduce (same trick as ntz_epoch_us).
+        df = df.withColumn(
+            "ts_ns",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+            ),
+        ).drop("ts")
+    elif isinstance(dt, T.TimestampType):
+        df = df.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000")).drop("ts")
+    else:
+        raise TypeError(f"unsupported events.ts dtype: {dt}")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet scan: pushdown-friendly.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a long. We
-    expose both the exact integer clock (``ts_ns``) and a derived
-    microsecond TimestampType ``ts`` (nanos floor-divided) so windowing
-    works while integer-exact comparisons stay available.
+    ``events`` goes through :func:`normalize_event_time`, which exposes
+    both the exact integer clock (``ts_ns`` BIGINT) and a microsecond
+    TimestampType ``ts`` whatever the parquet physical type is.
     """
     if name == "events":
         # Runtime-set so the engine also works on sessions it did not
         # build (the driver constructs its own plain SparkSession).
+        # Harmless on micros fixtures; required for the nanos vintage.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+    if name == "events":
+        df = normalize_event_time(df)
     return df
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_etl_spark.sources.tables import normalize_event_time
+
 WINDOW = "5 minutes"
 WATERMARK = "10 minutes"
 
@@ -53,7 +55,7 @@ def run_stream_dedup_once(spark: SparkSession, events_path: str) -> int:
     shutil.copy(events_path, f"{watch_dir}/b.parquet")  # exact duplicates
     schema = spark.read.parquet(events_path).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch_dir)
-    stream = stream.withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_time(stream).withColumnRenamed("ts", "ts_event")
     deduped = stream.withWatermark("ts_event", WATERMARK).dropDuplicates(["event_id", "ts_event"])
     q = (
         deduped.writeStream.outputMode("append")
@@ -88,11 +90,10 @@ def run_stream_interval_join_once(spark: SparkSession, events_path: str) -> Data
     schema = spark.read.parquet(events_path).schema
 
     def src():
-        # Raw parquet ts is TIMESTAMP(NANOS) read as bigint under
-        # nanosAsLong (load_table's ts_ns derivation doesn't apply to
-        # the raw stream source).
+        # Raw stream source bypasses load_table, so route through the
+        # same schema-robust normalizer (nanos-long or NTZ vintage).
         s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch_dir)
-        return s.withColumn("ts_ev", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_time(s).withColumnRenamed("ts", "ts_ev")
 
     signups = (
         src()
@@ -142,8 +143,7 @@ def run_stream_once(spark: SparkSession, sf_dir: str, events_path: str) -> DataF
     shutil.copy(events_path, watch_dir)
     schema = spark.read.parquet(events_path).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch_dir)
-    if "bigint" in schema["ts"].dataType.simpleString() or "long" in schema["ts"].dataType.simpleString():
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_time(stream)
     agg = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")

@@ -16,6 +16,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from rust_etl_spark.sources.tables import normalize_event_time
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
@@ -63,7 +65,7 @@ def run_profiles_once(spark: SparkSession, events_path: str) -> DataFrame:
     shutil.copy(events_path, watch_dir)
     schema = spark.read.parquet(events_path).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch_dir)
-    stream = stream.withColumnRenamed("ts", "ts_ns")
+    stream = normalize_event_time(stream)
     out = user_profiles_stream(stream)
     q = (
         out.writeStream.outputMode("update")
