@@ -50,6 +50,11 @@ GRADE_ORDER: tuple[str, ...] = (
     # dedup_embedding_lsh holds the graded slot)
     "dedup_exact", "dedup_exact_hash", "dedup_minhash_lsh", "dedup_minhash_groups",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
+    # round 5: the two ops a real nightly 100 TB curation run exercises —
+    # incremental dedup against the stored corpus index and C4-style
+    # segment dedup (dedup_segments) — promoted over two generic relational slots
+    # (groupby_having, join_outer_full; both families stay past-window).
+    "dedup_against_corpus", "dedup_segments",
     # §2c similarity search family
     "similarity_topk", "lsh_bucket_assign", "similarity_ann_lsh",
     "dedup_embedding_lsh", "ivf_assign", "similarity_ann_ivf",
@@ -80,12 +85,10 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_project", "filter_predicate", "groupby_agg",
     "join_star", "sort_topk", "window_rank",
     "join_semi_anti", "agg_distinct",
-    "groupby_having",
-    # TPC-H query shapes + full outer join (q1 joined late round 4,
-    # displacing agg_filter_sum — the FILTER-clause variant stays
-    # past-window; q1 is the canonical wide-aggregate anchor)
+    # TPC-H query shapes (q1 joined late round 4, displacing
+    # agg_filter_sum — the FILTER-clause variant stays past-window;
+    # q1 is the canonical wide-aggregate anchor)
     "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
-    "join_outer_full",
     # advanced-agg representative
     "window_range_frame",
 )
