@@ -296,3 +296,66 @@ def test_salted_join_matches_plain_join(spark):
         li, orders, "l_orderkey", n_salts=4, probe_salt_source="l_linenumber"
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
     assert plain.collect() == salted.collect()
+
+
+def test_minhash_bucket_cap_bounds_identical_corpus(spark):
+    """LSH failure-mode torture (VERDICT r4 item 8): a corpus where
+    EVERY document is identical puts all N docs into one bucket per
+    band. Without the cap that is N^2/2 pair rows per band; the cap
+    must filter those mega-buckets entirely (so pair expansion is
+    provably bounded by MINHASH_MAX_BUCKET^2 per bucket) while the
+    signature-group path still recovers the duplicate class."""
+    from rust_etl_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_K,
+        MINHASH_MAX_BUCKET,
+        minhash_bands,
+        minhash_candidate_pairs_df,
+        minhash_wide,
+    )
+
+    n_docs = 3 * MINHASH_MAX_BUCKET  # far over the cap
+    text = "the same boilerplate document repeated verbatim everywhere"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n_docs)], "doc_id bigint, text string"
+    )
+
+    # Every band bucket holds all n_docs members -> all capped away.
+    pairs = minhash_candidate_pairs_df(docs)
+    assert pairs.count() == 0
+
+    # The cap is what bounded it: uncapped bucket sizes really were N.
+    bands = minhash_bands(minhash_wide(docs, MINHASH_K), MINHASH_K, MINHASH_BAND_ROWS)
+    sizes = bands.groupBy("band", "sig").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] == n_docs > MINHASH_MAX_BUCKET
+
+    # Coverage doesn't silently vanish: the full-signature group path
+    # (dedup_minhash_groups' shape) still collapses the class to one
+    # keeper with all members accounted for.
+    sig = minhash_wide(docs, MINHASH_K).select(
+        "doc_id",
+        F.concat_ws(
+            ",", *[F.col(f"mh_{i}").cast("string") for i in range(MINHASH_K)]
+        ).alias("signature"),
+    )
+    grp = sig.groupBy("signature").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n")
+    )
+    rows = grp.collect()
+    assert len(rows) == 1 and rows[0]["n"] == n_docs and rows[0]["keeper"] == 0
+
+
+def test_minhash_cap_spares_small_buckets(spark):
+    """Mixed corpus: one mega-class over the cap plus one genuine
+    near-dup pair under it — the cap must kill only the mega-buckets;
+    the small-bucket pair survives candidate generation."""
+    from rust_etl_spark.operators.dedup import MINHASH_MAX_BUCKET, minhash_candidate_pairs_df
+
+    mega = "identical boilerplate page footer text shared by the crawl"
+    pair = "unique quarterly filing describing nine percent cloud growth"
+    rows = [(i, mega) for i in range(2 * MINHASH_MAX_BUCKET)]
+    rows += [(10_000, pair), (10_001, pair)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    got = {tuple(r) for r in minhash_candidate_pairs_df(docs).collect()}
+    assert got == {(10_000, 10_001)}
