@@ -156,6 +156,7 @@ def _ensure_loaded() -> None:
         functions_queries,
         pii_queries,
         relational,
+        tpch_more,
         tpch_shapes,
     )
     from rust_etl_spark.operators import (  # noqa: F401

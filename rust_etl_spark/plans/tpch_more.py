@@ -1,0 +1,901 @@
+"""TPC-H query shapes 2/4/7/8/9/11/12/13/14/15/16/19/20/22 — completing
+all 22 TPC-H topologies over the fixture tables.
+
+The reference (a 604-LoC JSON->Parquet converter, src/processor.rs:17-123)
+has no joins/aggregations, so this whole module is extension surface: the
+canonical decision-support join/agg/subquery patterns a warehouse engine
+must run, adapted to the fixture's column subset (no partsupp table, no
+l_commitdate/l_receiptdate/l_shipmode, no c_phone/p_container — each
+adaptation documented per query; same convention as q21's ship-lag proxy
+in tpch_shapes.py).
+
+Scale posture shared by all queries here: dims (region/nation/supplier/
+part/customer at fixture ratios) broadcast; lineitem — the 100 TB fact —
+is filtered/projected before its one shuffle per query; correlated
+subqueries are decorrelated into aggregate-then-join (no per-row
+re-execution); scalar "global total" subqueries become single-row
+broadcast joins, never driver round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_etl_spark.plans.catalog import register
+from rust_etl_spark.sources import load_table
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+# --------------------------------------------------------------- Q2
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eligible AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, unit_cost
+            FROM cost
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD'
+        ),
+        best AS (
+            SELECT p_partkey, min(unit_cost) AS best_cost FROM eligible GROUP BY p_partkey
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+               p_partkey, p_name, round(unit_cost, 2) AS unit_cost
+        FROM eligible JOIN best USING (p_partkey)
+        WHERE unit_cost = best_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H-Q2-shaped minimum-cost supplier per part (EUROPE, size-15 "
+    "STANDARD parts). partsupp does not exist in the fixture, so supply "
+    "cost is the observed min unit price per (part, supplier) from "
+    "lineitem; the correlated MIN subquery is decorrelated to a per-part "
+    "aggregate joined back on equality.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part (TPC-H Q2 topology).
+
+    The textbook plan re-runs a correlated ``MIN(ps_supplycost)``
+    subquery per outer row; here it is one aggregate over the
+    (already filtered) eligible set joined back on the min — lineitem
+    shuffles once on (partkey, suppkey), everything downstream is
+    part-grain. Dims broadcast; unit cost is IEEE division of two
+    scanned doubles, bit-identical across engines, so the equality
+    join against the per-part min is portable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min("uc").alias("unit_cost"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    best = eligible.groupBy("p_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        eligible.join(best, "p_partkey")
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------- Q4
+
+Q4_LATE_DAYS = 90
+
+
+@register(
+    "q4_order_priority",
+    oracle=f"""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND datediff('day', o_orderdate, l_shipdate) > {Q4_LATE_DAYS}
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc=f"TPC-H-Q4-shaped order-priority check: 1996 orders having at least "
+    f"one lineitem shipped > {Q4_LATE_DAYS} days after the order date "
+    "(ship-lag proxy for the fixture's missing l_commitdate/l_receiptdate), "
+    "counted per priority. EXISTS becomes one left-semi join.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 topology).
+
+    EXISTS is a LEFT SEMI join: lineitem is projected to
+    (l_orderkey, l_shipdate) before its single shuffle, the date
+    window prunes orders at the scan, and the semi join never
+    duplicates order rows — so the final per-priority count
+    aggregates order-grain data only.
+    """
+    ord_ = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        li.join(ord_.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.datediff("l_shipdate", "o_orderdate") > Q4_LATE_DAYS)
+        .select("l_orderkey")
+    )
+    return (
+        ord_.join(late, ord_.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------- Q7
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+        SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND ((rs.r_name = 'EUROPE' AND rc.r_name = 'ASIA')
+            OR (rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE'))
+        GROUP BY supp_region, cust_region, l_year
+        ORDER BY supp_region, cust_region, l_year
+    """,
+    doc="TPC-H-Q7-shaped volume shipping between two trade partners "
+    "(EUROPE <-> ASIA, both directions; regions rather than the classic "
+    "nation pair so the query stays non-vacuous at the smallest fixture, "
+    "where single nations have no suppliers), revenue per "
+    "(supp_region, cust_region, ship year) over 1996-1997.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7 topology).
+
+    The two-party disjunction is applied after broadcasting the
+    KB-sized nation+region dims onto supplier and customer; lineitem
+    is date-pruned at the scan and shuffles only for its joins to
+    orders/customer. The pair filter runs on the joined row — no
+    union-of-two-plans duplication of the fact scan.
+    """
+    pair = ("EUROPE", "ASIA")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin(*pair))
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "r_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    ord_ = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(cust, ord_.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(
+            ((F.col("supp_region") == pair[0]) & (F.col("cust_region") == pair[1]))
+            | ((F.col("supp_region") == pair[1]) & (F.col("cust_region") == pair[0]))
+        )
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+# --------------------------------------------------------------- Q8
+
+@register(
+    "q8_market_share",
+    oracle="""
+        WITH all_sales AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   ns.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN region   ON nc.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        )
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+        FROM all_sales GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H-Q8-shaped national market share: NATION_3's share of ECONOMY-"
+    "part revenue sold into AMERICA-region customers, per order year.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 topology).
+
+    One pass computes both numerator and denominator (conditional sum
+    over the same joined rows) — no second scan or self-join for the
+    share. All dims broadcast; the only shuffles are
+    lineitem⋈orders⋈customer on their natural keys.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nc = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cnk"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    ord_ = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sales = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(cust, ord_.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------- Q9
+
+@register(
+    "q9_product_profit",
+    oracle="""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.2 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H-Q9-shaped product-type profit: for parts named '%red%', "
+    "profit (revenue minus a 20%-of-retail cost proxy for the fixture's "
+    "missing ps_supplycost) per supplier nation and order year.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit measure (TPC-H Q9 topology).
+
+    The part-name filter is applied to the broadcast part dim, so the
+    fact scan only keeps matching partkeys after a broadcast hash
+    join — no shuffle grows with the unfiltered fact. Cost uses
+    p_retailprice (partsupp is absent from the fixture); the formula
+    is identical IEEE arithmetic on both engines.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ord_ = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.2 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------- Q11
+
+Q11_MEAN_MULT = 2.0
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+        WITH value_by_part AS (
+            SELECT l_partkey AS p_partkey, sum(l_extendedprice) AS part_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY l_partkey
+        )
+        SELECT p_partkey, round(part_value, 2) AS part_value
+        FROM value_by_part,
+             (SELECT {Q11_MEAN_MULT} * avg(part_value) AS thr FROM value_by_part) t
+        WHERE part_value > thr
+        ORDER BY part_value DESC, p_partkey
+    """,
+    doc=f"TPC-H-Q11-shaped important parts: parts whose ASIA-supplied value "
+    f"exceeds {Q11_MEAN_MULT}x the mean per-part supplied value (lineitem "
+    "extendedprice as the supply-value proxy for the missing partsupp; a "
+    "mean-relative threshold rather than Q11's SF-scaled fraction so the "
+    "cut stays non-vacuous at every fixture scale). The scalar threshold "
+    "is a single-row broadcast, not a driver round-trip.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-part identification (TPC-H Q11 topology).
+
+    The HAVING-against-global-aggregate shape: the per-part aggregate
+    is computed once and reused for the scalar threshold (Spark
+    reuses the shuffle via the cached-exchange rule; even recomputed
+    it is one extra reduce of an already-small aggregate), and the
+    threshold joins back as a broadcast single row — the plan has no
+    correlated re-execution and no collect().
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    by_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    thr = by_part.agg((Q11_MEAN_MULT * F.avg("part_value")).alias("thr"))
+    return (
+        by_part.join(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("p_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+# --------------------------------------------------------------- Q12
+
+Q12_FAST_DAYS = 30
+
+
+@register(
+    "q12_ship_priority_class",
+    oracle=f"""
+        SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= {Q12_FAST_DAYS}
+                    THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY ship_class
+        ORDER BY ship_class
+    """,
+    doc=f"TPC-H-Q12-shaped shipping-class priority counts: 1997 lineitems "
+    f"classified FAST (shipped within {Q12_FAST_DAYS} days of the order) "
+    "vs SLOW (l_shipmode is absent; ship-lag class is the proxy), with "
+    "urgent/non-urgent line counts per class.",
+)
+def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority analysis (TPC-H Q12 topology).
+
+    One fact join + one two-group aggregate; the CASE counts are
+    map-side partial aggregates (whole-stage codegen, no UDF), so the
+    shuffle carries at most 2 groups x 3 columns per task.
+    """
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .select(
+            F.when(
+                F.datediff("l_shipdate", "o_orderdate") <= Q12_FAST_DAYS, "FAST"
+            ).otherwise("SLOW").alias("ship_class"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_class")
+    )
+
+
+# --------------------------------------------------------------- Q13
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H-Q13-shaped customer order-count distribution: orders per "
+    "customer (zero-order customers included via the outer join; the "
+    "'special requests' comment filter becomes an o_orderpriority "
+    "exclusion since o_comment is absent), then how many customers share "
+    "each count.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution (TPC-H Q13 topology).
+
+    The filter rides the join condition (not a WHERE), which is what
+    keeps zero-order customers in the left join — semantically the
+    part of Q13 engines get wrong first. count(o_orderkey) skips the
+    nulls the outer join introduces. Two shuffles total: the outer
+    join and the tiny count-of-counts.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            ord_,
+            (cust.c_custkey == ord_.o_custkey)
+            & (ord_.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------- Q14
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="TPC-H-Q14-shaped promotion effect: percentage of March-1997 "
+    "revenue from PROMO-type parts, computed in one conditional-sum pass.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 topology). Single broadcast join +
+    one global conditional aggregate; the month filter prunes the fact
+    scan (PushedFilters on l_shipdate)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-03-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("p_type"), rev)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0))
+                / F.sum("rev"),
+                2,
+            ).alias("promo_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------- Q15
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no,
+             (SELECT max(total_revenue) AS mx FROM revenue) m
+        WHERE total_revenue = mx
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H-Q15-shaped top supplier: the supplier(s) with maximum "
+    "Q1-1996 revenue. The view + scalar MAX becomes one aggregate reused "
+    "for both the per-supplier revenue and the broadcast max row.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 topology).
+
+    revenue is computed once; the global max is a single-row broadcast
+    joined back (within-engine double equality, portable because both
+    sides derive max from the same aggregate). Supplier dim broadcasts
+    onto the surviving row(s).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------- Q16
+
+@register(
+    "q16_part_supplier_variety",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H-Q16-shaped part/supplier variety: distinct supplier counts "
+    "per (brand, type, size) over observed (part, supplier) pairs from "
+    "lineitem (partsupp proxy), excluding one brand, PROMO parts, and "
+    "suppliers with negative balance (the 'customer complaints' proxy).",
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier relationship variety (TPC-H Q16 topology).
+
+    The NOT IN subquery is a broadcast LEFT ANTI join (the excluded-
+    supplier set is tiny); the (part, supplier) distinct runs BEFORE
+    the dim join so the expensive dedup happens on two integer
+    columns only.
+    """
+    pairs = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------- Q19
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H-Q19-shaped disjunctive-predicate revenue: three OR-branches "
+    "mixing part attributes (brand, size) and lineitem attributes "
+    "(quantity) — the classic pushdown-splitting pattern (p_container / "
+    "l_shipmode are absent; brand+size+quantity carry the same shape).",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under disjunctive predicates (TPC-H Q19).
+
+    The disjunction spans both tables, so it can only evaluate after
+    the join — but its single-table implicates CAN prune earlier:
+    part is pre-filtered to the union of brand/size envelopes and
+    lineitem to the quantity envelope (1..30) before the broadcast
+    join, so the fact scan pushes a range predicate down even though
+    the full OR runs post-join.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand").isin("Brand#2", "Brand#3", "Brand#4"))
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    branch = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------- Q20
+
+Q20_DOMINANT_SHARE = 0.12
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle=f"""
+        WITH qty AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        part_total AS (
+            SELECT l_partkey, sum(supp_qty) AS part_qty FROM qty GROUP BY l_partkey
+        )
+        SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM qty JOIN part_total USING (l_partkey)
+              WHERE supp_qty > {Q20_DOMINANT_SHARE} * part_qty
+          )
+        ORDER BY s_name
+    """,
+    doc=f"TPC-H-Q20-shaped dominant suppliers: EUROPE-region suppliers who ship "
+    f"more than {Q20_DOMINANT_SHARE:.0%} of some part's total quantity "
+    "(excess-stock semantics re-expressed over shipped quantities since "
+    "partsupp availqty is absent). Nested IN-subqueries become "
+    "aggregate-then-semi-join.",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-supplier identification (TPC-H Q20 topology).
+
+    The textbook nested IN (parts -> availqty subquery -> suppliers)
+    decorrelates to: one (part, supplier) aggregate, one per-part
+    total derived FROM that aggregate (reusing its shuffle), a
+    filter, and a left-semi join into the nation-pruned supplier dim.
+    lineitem is aggregated before any join touches it.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    part_total = qty.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        qty.join(part_total, "l_partkey")
+        .filter(F.col("supp_qty") > Q20_DOMINANT_SHARE * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------- Q22
+
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+        WITH pool AS (
+            SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+            WHERE c_nationkey IN {Q22_NATIONS}
+        ),
+        threshold AS (
+            SELECT avg(c_acctbal) AS avg_bal FROM pool WHERE c_acctbal > 0.0
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM pool, threshold
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
+    """,
+    doc="TPC-H-Q22-shaped global sales opportunity: customers in seven "
+    "nations (c_phone country codes are absent; c_nationkey is the "
+    "country proxy) with above-average positive balance and no RECENT "
+    "orders (every fixture customer has some order, so 'inactive since "
+    "2000' keeps the anti-join non-vacuous) — scalar AVG broadcast + "
+    "anti-join on date-pruned orders.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 topology).
+
+    Both subqueries decorrelate: the scalar AVG is a broadcast single
+    row, NOT EXISTS is a LEFT ANTI join against the projected orders
+    keys. The customer pool is nation-pruned at the scan.
+    """
+    pool = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*Q22_NATIONS)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    ord_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    return (
+        pool.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(ord_keys, pool.c_custkey == ord_keys.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
