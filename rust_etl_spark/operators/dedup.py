@@ -42,6 +42,7 @@ from rust_etl_spark.functions.textfns import (
     word_shingles,
     word_shingles_sql,
 )
+from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
 from rust_etl_spark.functions.vectors import cosine, cosine_sql, to_double_array
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
@@ -985,4 +986,97 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("df") <= SEGMENT_DF_CAP, F.col("seg_len")).otherwise(F.lit(0))
             ).alias("kept_tokens"),
         )
+    )
+
+
+# ------------------------------------------------- containment dedup
+
+#: Containment threshold: |A∩B| / min(|A|,|B|) of the discriminative
+#: shingle sets. Catches quote-inclusion / doc-inside-doc duplication
+#: that symmetric Jaccard misses (a 10x-longer superset document caps
+#: Jaccard at ~0.1 while containment is ~1.0).
+CONTAINMENT_TAU = 0.5
+
+_CONTAINMENT_ORACLE = f"""
+    WITH sh_all AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+    ), sh AS (
+        SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh_all
+        ) t WHERE df <= {JACCARD_DF_CAP}
+    ), sized AS (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n AS na, b.n AS nb, count(*) AS n_common
+        FROM sized a JOIN sized b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    )
+    SELECT doc_a, doc_b,
+           {round_half_up_sql("n_common / least(na, nb)", 4)} AS containment
+    FROM inter
+    WHERE n_common / least(na, nb) >= {CONTAINMENT_TAU}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    doc=f"Containment near-dup pairs: |A∩B|/min(|A|,|B|) >= {CONTAINMENT_TAU} "
+    f"over df-capped {JACCARD_SHINGLE_N}-token shingles — catches "
+    "doc-inside-doc duplication (quotes, concatenated crawls) that "
+    "symmetric Jaccard misses.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-overlap (containment) duplicate detection.
+
+    Same single-scan posting-list dataflow as ``dedup_ngram_jaccard``
+    (df-cap bounds the per-shingle fan-out, sizes ride the rows, one
+    in-row pair expansion) — only the final score changes to
+    n_common / min(na, nb), the Broder containment of the smaller
+    discriminative set. At 100 TB the cost profile is identical to
+    the Jaccard pass, so a curation run gets both signals from what
+    can be one shared candidate stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    sh_all = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), JACCARD_SHINGLE_N))).alias("sh"),
+    )
+    capped = sh_all.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).filter(F.col("df") <= JACCARD_DF_CAP)
+    sized = capped.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    members = (
+        sized.groupBy("sh")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size("ms")),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            x["n"].alias("na"),
+                            y["doc_id"].alias("doc_b"),
+                            y["n"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    cont = F.col("n_common") / F.least("na", "nb")
+    return (
+        inter.filter(cont >= CONTAINMENT_TAU)
+        .select("doc_a", "doc_b", round_half_up(cont, 4).alias("containment"))
     )

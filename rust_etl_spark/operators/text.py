@@ -527,3 +527,58 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("gram"))
         .limit(NGRAM_FREQ_TOPK)
     )
+
+
+# ------------------------------------------- unigram LM quality score
+
+#: Round the per-doc mean negative log-prob to this many digits on
+#: both engines (aggregate rounding; see CLAUDE.md rounding invariant).
+LM_SCORE_DIGITS = 4
+
+
+@register(
+    "lm_quality_score",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({{toks}}) AS w FROM documents
+        ),
+        freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln(c / t)), {LM_SCORE_DIGITS}) AS neg_logprob
+        FROM tok JOIN freq USING (w) CROSS JOIN total
+        GROUP BY doc_id
+    """.replace("{{toks}}", "{toks}").format(toks=tokens_sql("text")),
+    doc="CCNet-style unigram language-model quality score: per-document "
+    "mean negative log-probability under the corpus's own unigram "
+    "distribution (lower = more typical text; high values flag gibberish "
+    "and boilerplate outliers). The perplexity-filter stage of a "
+    "training-data pipeline, self-trained so no external LM is needed.",
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM scoring.
+
+    Two aggregates and one join, all on the token key: corpus unigram
+    counts (map-side partial agg), the scalar token total (broadcast
+    single row), and a token->count join back onto the exploded token
+    stream before the per-doc mean. At 100 TB the vocabulary is far
+    smaller than the corpus and heavy hitters combine map-side, so
+    the join shuffles vocab-sized data, never corpus-sized; the
+    per-doc mean aggregates on doc_id, AQE-splittable. No UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        tok.join(F.broadcast(total))
+        .join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), LM_SCORE_DIGITS).alias(
+                "neg_logprob"
+            ),
+        )
+    )
