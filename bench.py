@@ -56,6 +56,14 @@ EXTENDED = [
     "pii_pseudonymize",
     "q5_local_supplier",
     "q21_sole_late_supplier",
+    # round-5 operators (secondary, same comparability reason)
+    "dedup_containment",
+    "lm_quality_score",
+    "events_ohlc",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q16_part_supplier_variety",
 ]
 
 HEADLINE = [

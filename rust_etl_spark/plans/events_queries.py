@@ -605,3 +605,66 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > ZSCORE_THRESHOLD)
         .select("event_id", "event_type", "value", round_half_up(z, 2).alias("z"))
     )
+
+
+OHLC_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "events_ohlc",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type, value,
+                   (epoch_us(ts) // {OHLC_BUCKET_US}) * {OHLC_BUCKET_US} AS w_start_us,
+                   row_number() OVER (
+                       PARTITION BY event_type, (epoch_us(ts) // {OHLC_BUCKET_US})
+                       ORDER BY epoch_ns(ts), event_id) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, (epoch_us(ts) // {OHLC_BUCKET_US})
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, w_start_us,
+               CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM t
+        GROUP BY event_type, w_start_us
+    """,
+    doc="OHLC candlestick rollup: per (event_type, 1-hour bucket) the "
+    "open/high/low/close of the value series — the standard time-series "
+    "downsampling shape. First/last are total-ordered on (ts_ns, "
+    "event_id) so ties are deterministic on both engines.",
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick (OHLC) downsampling over event time.
+
+    One shuffle on (event_type, bucket): both row_numbers share the
+    same window partition (opposite orderings, same exchange), and
+    the final aggregate reuses that partitioning. No argmin/argmax
+    nondeterminism: first/last are row_number()=1 under a total order
+    including the unique event_id. At 100 TB the bucket key is
+    high-cardinality (types x hours) and AQE-splittable; no UDFs.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts_ns"
+    )
+    bucket = F.expr(f"((ts_ns div 1000) div {OHLC_BUCKET_US}) * {OHLC_BUCKET_US}")
+    w = Window.partitionBy("event_type", "w_start_us")
+    t = (
+        ev.withColumn("w_start_us", bucket)
+        .withColumn("rn_a", F.row_number().over(w.orderBy("ts_ns", "event_id")))
+        .withColumn(
+            "rn_d",
+            F.row_number().over(w.orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())),
+        )
+    )
+    return t.groupBy("event_type", "w_start_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )

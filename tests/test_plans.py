@@ -131,3 +131,56 @@ def test_window_range_frame_has_no_global_window(spark):
 
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n\s*\+- Window", plan):
         raise AssertionError(f"single-partition window in plan: {m.group(0)}")
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Q4's EXISTS must compile to a left-semi join (no row duplication
+    before the priority count)."""
+    plan = _formatted_plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q22_subqueries_decorrelate(spark):
+    """Q22: the scalar AVG must broadcast (no per-row re-execution) and
+    NOT EXISTS must be an anti join with the date filter pushed to the
+    orders scan."""
+    plan = _formatted_plan(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q9_part_filter_broadcasts(spark):
+    """Q9's %red% part filter must ride a broadcast join so the fact
+    table never shuffles against the unfiltered part dim."""
+    plan = _formatted_plan(spark, "q9_product_profit")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q13_distribution_conserves_customers_and_orders(spark):
+    """Q13 semantics: the distribution must account for EVERY customer
+    (outer join — nobody drops even with zero qualifying orders) and
+    its weighted sum must equal exactly the qualifying-order count
+    (the priority filter lives in the join condition, so it removes
+    orders, never customers)."""
+    from rust_etl_spark.sources import load_table
+
+    df = catalog.get("q13_customer_distribution").fn(spark, SF)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    n_cust = load_table(spark, SF, "customer").count()
+    n_qual = (
+        load_table(spark, SF, "orders")
+        .filter("o_orderpriority <> '4-NOT SPECIFIED'")
+        .count()
+    )
+    assert sum(rows.values()) == n_cust
+    assert sum(k * v for k, v in rows.items()) == n_qual
+    plan = _formatted_plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_events_ohlc_single_exchange_for_windows_and_agg(spark):
+    """Both OHLC row_numbers and the final aggregate share the
+    (event_type, bucket) partitioning — exactly one fact exchange."""
+    plan = _formatted_plan(spark, "events_ohlc")
+    assert plan.count("Exchange hashpartitioning") <= 1
