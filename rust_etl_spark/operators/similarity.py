@@ -498,3 +498,60 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("qv", zero, lambda a, x: a + x).alias("q_checksum"),
         F.aggregate(F.transform("qv", F.abs), zero, lambda a, x: a + x).alias("q_l1"),
     )
+
+
+# ------------------------------------------------- embedding hygiene
+
+@register(
+    "embedding_audit",
+    oracle="""
+        WITH v AS (
+            SELECT label,
+                   len(embedding) AS n_dims,
+                   list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS nsq
+            FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(n_dims) AS BIGINT) AS min_dims,
+               CAST(max(n_dims) AS BIGINT) AS max_dims,
+               CAST(sum(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+               floor(min(nsq) * 1000000.0 + 0.5) / 1000000.0 AS min_normsq,
+               floor(max(nsq) * 1000000.0 + 0.5) / 1000000.0 AS max_normsq,
+               round(avg(nsq), 4) AS avg_normsq
+        FROM v GROUP BY label
+    """,
+    doc="Embedding-store hygiene audit: per label, vector counts, dim "
+    "consistency envelope (min/max dims), zero-vector count, and the "
+    "squared-norm envelope — the sanity gate a vector pipeline runs "
+    "before indexing/quantizing a new embedding batch.",
+)
+def embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store data-quality audit.
+
+    Map-side per-row folds (dims, squared norm as a left-to-right
+    double fold, bit-identical to the DuckDB mirror) followed by one
+    low-cardinality grouped aggregate on label — no joins, no
+    shuffles beyond the tiny final exchange. min/max round with the
+    engine-portable half-up; the cross-row mean uses aggregate
+    rounding (CLAUDE.md invariant).
+    """
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = to_double_array("embedding")
+    v = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x).alias("nsq"),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("n_dims").cast("long").alias("min_dims"),
+        F.max("n_dims").cast("long").alias("max_dims"),
+        F.sum(F.when(F.col("nsq") == 0.0, 1).otherwise(0)).cast("long").alias("n_zero_vecs"),
+        round_half_up(F.min("nsq"), 6).alias("min_normsq"),
+        round_half_up(F.max("nsq"), 6).alias("max_normsq"),
+        F.round(F.avg("nsq"), 4).alias("avg_normsq"),
+    )

@@ -582,3 +582,52 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ dataset-card report
+
+@register(
+    "corpus_stats",
+    oracle=f"""
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({token_count_sql('text')}) AS BIGINT) AS total_tokens,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               round(avg(n_chars), 2) AS avg_chars,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+        FROM documents
+        GROUP BY source, lang
+    """,
+    doc="Dataset-card corpus report: per (source, lang) document counts, "
+    "token totals, char-length envelope, and exact-unique text counts — "
+    "the summary table a training-data release ships alongside the data.",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice corpus accounting (dataset-card stage).
+
+    One grouped aggregate over (source, lang) — low cardinality, so
+    partial aggregation collapses almost everything map-side; the
+    distinct-text count keys on md5 fingerprints (fixed 32 bytes/row
+    in the distinct's shuffle, never the document bodies). At 100 TB
+    this is the cheapest full-corpus pass in the pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            token_count("text").alias("n_tok"),
+            F.md5("text").alias("fp"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.count_distinct("fp").cast("long").alias("n_unique_texts"),
+        )
+    )
