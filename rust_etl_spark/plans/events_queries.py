@@ -668,3 +668,126 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
     )
+
+
+ROLLING_N = 5  # current row + 4 preceding
+
+
+@register(
+    "events_rolling_stats",
+    oracle=f"""
+        SELECT event_id, user_id,
+               round(avg(value) OVER w, 4) AS roll_avg,
+               round(min(value) OVER w, 4) AS roll_min,
+               round(max(value) OVER w, 4) AS roll_max,
+               CAST(count(*) OVER w AS BIGINT) AS roll_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_ns(ts), event_id
+                     ROWS BETWEEN {ROLLING_N - 1} PRECEDING AND CURRENT ROW)
+    """,
+    doc=f"Per-user rolling stats over the last {ROLLING_N} events (ROWS "
+    "frame, total-ordered on (ts_ns, event_id)) — the moving-average "
+    "smoothing shape, complementing window_range_frame's RANGE frame.",
+)
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS-frame aggregates per user.
+
+    One shuffle on user_id; the ROWS frame is computed in a single
+    sort-based window pass holding at most ROLLING_N rows of state
+    per partition position (contrast with RANGE frames, which Spark
+    evaluates with a growing buffer). user_id is the natural
+    AQE-splittable key; the total order includes event_id so ties on
+    ts_ns are deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts_ns")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-(ROLLING_N - 1), Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("roll_avg"),
+        F.round(F.min("value").over(w), 4).alias("roll_min"),
+        F.round(F.max("value").over(w), 4).alias("roll_max"),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+    )
+
+
+#: Open-ended validity sentinel for the current SCD2 row (max int64
+#: would overflow DuckDB's us->ns conversions; a year-9999 stamp is
+#: comparison-safe on both engines).
+SCD2_OPEN_END_US = 253_402_300_800_000_000  # 10000-01-01 00:00:00 UTC
+
+
+@register(
+    "events_scd2_build",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS t_us, event_id,
+                   lag(event_type) OVER w AS prev_type,
+                   row_number() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type, t_us, event_id,
+                   lead(t_us) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, event_id) AS next_us
+            FROM ordered
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+        )
+        SELECT user_id, event_type AS attr_value,
+               t_us AS valid_from_us,
+               coalesce(next_us, {SCD2_OPEN_END_US}) AS valid_to_us,
+               CAST(next_us IS NULL AS BIGINT) AS is_current
+        FROM changes
+    """,
+    doc="SCD2 (type-2 slowly-changing dimension) build: collapse each "
+    "user's event_type stream into change rows with [valid_from, "
+    "valid_to) validity intervals and an is_current flag — the standard "
+    "warehouse dimension-history shape, derived with lag/lead under a "
+    "total order (ts_ns, event_id).",
+)
+def events_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history from an event stream.
+
+    Change detection (lag) and interval closing (lead) share the same
+    user_id partitioning — Spark plans them over one exchange. Every
+    per-user history is processed independently, so the operator
+    scales with the user key's cardinality; no self-join of the
+    stream against itself (the naive interval-build). Ties are
+    impossible under the (ts_ns, event_id) total order.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("t_us"), "event_id", "ts_ns"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "t_us",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = ordered.filter(
+        (F.col("rn") == 1) | ~F.col("event_type").eqNullSafe(F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    closed = changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("t_us").alias("valid_from_us"),
+        F.lead("t_us").over(w2).alias("next_us"),
+    )
+    return closed.select(
+        "user_id",
+        "attr_value",
+        "valid_from_us",
+        F.coalesce("next_us", F.lit(SCD2_OPEN_END_US)).alias("valid_to_us"),
+        F.isnull("next_us").cast("long").alias("is_current"),
+    )
