@@ -161,3 +161,51 @@ def run_stream_once(spark: SparkSession, sf_dir: str, events_path: str) -> DataF
     finally:
         q.stop()
     return spark.sql("SELECT * FROM events_windowed")
+
+
+SESSION_GAP = "30 minutes"
+
+
+def run_stream_sessions_once(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming gap sessionization: the native ``session_window`` with
+    a watermark, driven over a bounded file stream — the streaming form
+    of the batch ``events_session_window`` query, which the test
+    validates it against row-for-row.
+
+    State is one open session per user inside the watermark horizon;
+    the gap timeout closes sessions, the watermark expires them — so
+    an unbounded event stream sessionizes in bounded memory. Append
+    mode emits each session exactly once, when it finalizes.
+    """
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    watch_dir = tempfile.mkdtemp(prefix="events_sess_")
+    shutil.copy(events_path, watch_dir)
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch_dir)
+    stream = normalize_event_time(stream)
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("s_start_us"),
+            F.unix_micros("w.end").alias("s_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql("SELECT * FROM events_sessions")

@@ -54,3 +54,25 @@ def test_stream_matches_batch(spark):
     b = sorted((str(r["w_start"]), r["event_type"], r["n"], r["total_value"]) for r in batch.collect())
     assert s == b
     assert len(s) > 0
+
+
+def test_stream_sessions_match_batch_session_window(spark):
+    """Streaming session_window + watermark must finalize exactly the
+    sessions the batch events_session_window computes. Append mode only
+    emits sessions the watermark has passed, so compare on the subset
+    relation: every emitted session matches a batch session, and the
+    bulk of sessions (all but the watermark tail) must be emitted."""
+    from rust_etl_spark.plans import catalog
+    from rust_etl_spark.streaming.events import run_stream_sessions_once
+
+    streamed = run_stream_sessions_once(spark, f"{SF}/events.parquet")
+    got = {
+        (r["user_id"], r["s_start_us"], r["s_end_us"], r["n_events"], r["total_value"])
+        for r in streamed.collect()
+    }
+    want = {
+        (r["user_id"], r["s_start_us"], r["s_end_us"], r["n_events"], r["total_value"])
+        for r in catalog.get("events_session_window").fn(spark, SF).collect()
+    }
+    assert got <= want, "streamed session not present in batch result"
+    assert len(got) >= int(0.8 * len(want)) > 0, (len(got), len(want))
