@@ -155,6 +155,7 @@ def _ensure_loaded() -> None:
         events_queries,
         functions_queries,
         pii_queries,
+        quality_audit,
         relational,
         tpch_more,
         tpch_shapes,
