@@ -166,3 +166,43 @@ def test_md5_long60_matches_python_hashlib(spark, tokens_list):
         expect = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
         assert got[t] == expect, f"{t!r}"
         assert 0 <= got[t] % HASH_P < HASH_P
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark):
+    """SCD2 output invariants, independent of the oracle: per user the
+    validity intervals are non-overlapping, contiguous (each next
+    valid_from equals the previous valid_to), exactly one row is
+    current, and the current row carries the open-end sentinel."""
+    from rust_etl_spark.plans import catalog
+    from rust_etl_spark.plans.events_queries import SCD2_OPEN_END_US
+
+    rows = catalog.get("events_scd2_build").fn(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from_us"])
+        assert sum(r["is_current"] for r in ivs) == 1, uid
+        assert ivs[-1]["is_current"] == 1 and ivs[-1]["valid_to_us"] == SCD2_OPEN_END_US
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev["valid_to_us"] == nxt["valid_from_us"], uid  # contiguous
+            assert prev["valid_from_us"] < prev["valid_to_us"], uid  # non-empty
+            assert prev["attr_value"] != nxt["attr_value"], uid  # true change rows
+
+
+def test_ohlc_envelope_invariants(spark):
+    """Every OHLC bucket must satisfy low <= open/close <= high, and
+    n must sum to the table's row count (no event lost or duplicated
+    across buckets)."""
+    from rust_etl_spark.plans import catalog
+    from rust_etl_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = catalog.get("events_ohlc").fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"], r
+        assert r["low"] <= r["close"] <= r["high"], r
+        assert r["n"] >= 1
+    assert sum(r["n"] for r in rows) == load_table(spark, sf, "events").count()
