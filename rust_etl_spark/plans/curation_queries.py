@@ -200,3 +200,67 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "bucket", "pos")
     )
+
+
+# ------------------------------------------------- tokenizer id mapping
+
+VOCAB_SIZE = 1000
+
+
+@register(
+    "tokenize_ids",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({tokens_sql("text")}) AS w FROM documents
+        ),
+        vocab AS (
+            SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) - 1 AS id
+            FROM tok GROUP BY w
+            QUALIFY id < {VOCAB_SIZE}
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(sum(coalesce(id, 0)) AS BIGINT) AS id_checksum
+        FROM tok LEFT JOIN vocab USING (w)
+        GROUP BY doc_id
+    """,
+    doc=f"Tokenizer id mapping: build a frequency-ranked vocab (top "
+    f"{VOCAB_SIZE}, ties broken by token) and map every document's token "
+    "stream to ids — the tokenization stage of training-data prep. "
+    "Verified through per-doc scalar outputs (token/OOV counts + id "
+    "checksum) since array columns don't hash portably.",
+)
+def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained vocabulary + id mapping.
+
+    The vocab is one grouped count + a rank over (freq DESC, token) —
+    total-ordered, so ids are deterministic across engines and runs
+    (a retry or scale-up re-derives the identical mapping). The vocab
+    is VOCAB_SIZE rows, broadcast onto the exploded token stream; the
+    per-doc aggregate is the only corpus-sized shuffle. At 100 TB the
+    real vocab build is exactly this plan with a bigger V — still
+    KB-to-MB-sized, still broadcastable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    # Top-V selection is TakeOrderedAndProject (distributed partial
+    # top-k, no full-vocab global sort); the id-assigning row_number
+    # then runs over only VOCAB_SIZE rows — bounded, not vocab-sized.
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(VOCAB_SIZE)
+    )
+    wv = Window.orderBy(F.col("freq").desc(), "w")
+    vocab = top.select("w", (F.row_number().over(wv) - 1).alias("id"))
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("id").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+            F.sum(F.coalesce("id", F.lit(0))).cast("long").alias("id_checksum"),
+        )
+    )

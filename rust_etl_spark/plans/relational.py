@@ -495,3 +495,74 @@ def groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
         .filter(F.col("n_items") > 35)
     )
+
+
+# ------------------------------------------------- market-basket pairs
+
+BASKET_CAP = 32   #: defensive bound on per-order distinct parts
+BASKET_TOPK = 25
+
+
+@register(
+    "basket_pairs",
+    oracle=f"""
+        WITH basket AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        sized AS (
+            SELECT l_orderkey FROM basket GROUP BY l_orderkey
+            HAVING count(*) BETWEEN 2 AND {BASKET_CAP}
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM basket a
+        JOIN basket b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN sized s ON a.l_orderkey = s.l_orderkey
+        GROUP BY part_a, part_b
+        ORDER BY support DESC, part_a, part_b
+        LIMIT {BASKET_TOPK}
+    """,
+    doc=f"Market-basket co-occurrence: top-{BASKET_TOPK} part pairs by "
+    f"order-level support (baskets capped at {BASKET_CAP} distinct parts). "
+    "The frequent-itemset support-counting stage; pairs expand in-row "
+    "from per-order sorted member lists, never via a fact self-join.",
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence support (market-basket shape).
+
+    The oracle writes the textbook self-join; the Spark plan instead
+    aggregates each order's distinct parts into a sorted in-row list
+    (one shuffle on l_orderkey), drops mega-baskets via the cap (the
+    same bounded-fanout idea as the MinHash bucket cap — a pathological
+    order with thousands of parts would otherwise expand O(n²) rows),
+    expands C(n,2) pairs per row with a nested transform, and counts
+    support per pair (second shuffle, pair-keyed, AQE-splittable).
+    TakeOrderedAndProject handles the final top-k — no global sort.
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter((F.size("parts") >= 2) & (F.size("parts") <= BASKET_CAP))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(BASKET_TOPK)
+    )
