@@ -566,3 +566,64 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(BASKET_TOPK)
     )
+
+
+# ------------------------------------------------- RFM segmentation
+
+@register(
+    "customer_rfm",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_nationkey,
+                   max(epoch_us(o_orderdate)) AS last_us,
+                   count(*) AS freq,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_nationkey
+        )
+        SELECT c_custkey,
+               CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                                   ORDER BY last_us, c_custkey) AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                                   ORDER BY freq, c_custkey) AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                                   ORDER BY monetary, c_custkey) AS BIGINT) AS m_score
+        FROM base
+    """,
+    doc="RFM (recency/frequency/monetary) quintile segmentation per "
+    "customer, scored within nation — ntile(5) windows with c_custkey "
+    "tie-breaks so bucket assignment is deterministic on both engines.",
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer quintile scoring (marketing-analytics shape).
+
+    One fact aggregate to customer grain, then three ntile windows
+    PARTITIONED BY nation — windows stay market-sized, never global
+    (the repo's no-single-partition rule; a global ntile would funnel
+    every customer through one task). Recency compares integer epoch
+    micros; every ORDER BY carries the unique c_custkey so quintile
+    boundaries are total-ordered, which is what makes ntile portable
+    (ties split by an arbitrary-but-identical order on both engines).
+    """
+    from rust_etl_spark.plans.events_queries import ntz_epoch_us
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", ntz_epoch_us("o_orderdate").alias("t_us")
+    )
+    base = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.max("t_us").alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey")
+    return base.select(
+        "c_custkey",
+        F.ntile(5).over(w.orderBy("last_us", "c_custkey")).cast("long").alias("r_score"),
+        F.ntile(5).over(w.orderBy("freq", "c_custkey")).cast("long").alias("f_score"),
+        F.ntile(5).over(w.orderBy("monetary", "c_custkey")).cast("long").alias("m_score"),
+    )
