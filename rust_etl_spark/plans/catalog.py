@@ -55,6 +55,14 @@ GRADE_ORDER: tuple[str, ...] = (
     # segment dedup (dedup_segments) — promoted over two generic relational slots
     # (groupby_having, join_outer_full; both families stay past-window).
     "dedup_against_corpus", "dedup_segments",
+    # round 5: containment dedup (doc-inside-doc, the overlap mode
+    # symmetric Jaccard misses) and the CCNet-style perplexity filter —
+    # promoted over join_semi_anti (semi/anti semantics stay in-window
+    # via decontaminate's anti-join; the op plus q4/q16/q22 cover the
+    # family past-window) and agg_distinct (distinct-agg stays
+    # past-window via agg_distinct/q16/corpus_stats, all locally
+    # driver-strict checked every run).
+    "dedup_containment", "lm_quality_score",
     # §2c similarity search family
     "similarity_topk", "lsh_bucket_assign", "similarity_ann_lsh",
     "dedup_embedding_lsh", "ivf_assign", "similarity_ann_ivf",
@@ -84,7 +92,6 @@ GRADE_ORDER: tuple[str, ...] = (
     # core relational algebra
     "scan_project", "filter_predicate", "groupby_agg",
     "join_star", "sort_topk", "window_rank",
-    "join_semi_anti", "agg_distinct",
     # TPC-H query shapes (q1 joined late round 4, displacing
     # agg_filter_sum — the FILTER-clause variant stays past-window;
     # q1 is the canonical wide-aggregate anchor)
