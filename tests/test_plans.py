@@ -184,3 +184,24 @@ def test_events_ohlc_single_exchange_for_windows_and_agg(spark):
     (event_type, bucket) partitioning — exactly one fact exchange."""
     plan = _formatted_plan(spark, "events_ohlc")
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_basket_pairs_never_self_joins_the_fact(spark):
+    """The oracle is a lineitem self-join; the Spark plan must instead
+    expand pairs in-row — no join operator anywhere in the plan."""
+    plan = _formatted_plan(spark, "basket_pairs")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k without global sort
+
+
+def test_tokenize_ids_broadcasts_vocab(spark):
+    """The id mapping must be a broadcast join (the vocab is VOCAB_SIZE
+    rows); the only corpus-sized shuffle is the per-doc aggregate."""
+    plan = _formatted_plan(spark, "tokenize_ids")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-V vocab selection
+
+
+def test_integrity_audit_referential_rules_are_anti_joins(spark):
+    plan = _formatted_plan(spark, "integrity_audit")
+    assert plan.count("LeftAnti") >= 2
