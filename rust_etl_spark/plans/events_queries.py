@@ -791,3 +791,76 @@ def events_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("next_us", F.lit(SCD2_OPEN_END_US)).alias("valid_to_us"),
         F.isnull("next_us").cast("long").alias("is_current"),
     )
+
+
+DIFF_T1_US = 1_704_931_200_000_000  # 2024-01-11 00:00:00 UTC
+DIFF_T2_US = 1_705_795_200_000_000  # 2024-01-21 00:00:00 UTC
+
+
+@register(
+    "events_state_diff",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t_us,
+                   row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+            FROM events WHERE epoch_us(ts) < {DIFF_T1_US}
+        ),
+        ranked2 AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t_us,
+                   row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+            FROM events WHERE epoch_us(ts) < {DIFF_T2_US}
+        ),
+        s1 AS (SELECT user_id, event_type AS state1 FROM ranked  WHERE rn = 1),
+        s2 AS (SELECT user_id, event_type AS state2 FROM ranked2 WHERE rn = 1)
+        SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+               CASE WHEN s1.user_id IS NULL THEN 'added'
+                    WHEN s2.user_id IS NULL THEN 'removed'
+                    WHEN state1 <> state2 THEN 'changed'
+                    ELSE 'unchanged' END AS change_kind,
+               state1 AS old_state, state2 AS new_state
+        FROM s1 FULL OUTER JOIN s2 USING (user_id)
+        WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR state1 <> state2
+    """,
+    doc="CDC snapshot diff: each user's latest event_type as-of two "
+    "cutoffs (2024-01-11 vs 2024-01-21, the fixture's mid-month cutovers), full-outer joined and classified "
+    "added/removed/changed — the change-data-capture comparison a "
+    "downstream consumer runs between two table snapshots. Latest-state "
+    "selection is total-ordered on (ts_ns, event_id).",
+)
+def events_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot state diff (CDC shape).
+
+    Each snapshot is a latest-row-per-key selection (row_number under
+    a total order, one user_id shuffle over date-pruned input — the
+    T2 scan subsumes T1's rows but Spark prunes both scans at the
+    parquet level). The diff is one full-outer join on the key with
+    the classification computed in-row; emitted rows are only the
+    changes, so the output scales with churn, not with the keyspace.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_ns",
+        F.expr("ts_ns div 1000").alias("t_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
+
+    def snapshot(cutoff_us: int, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("t_us") < cutoff_us)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias(out))
+        )
+
+    s1 = snapshot(DIFF_T1_US, "old_state")
+    s2 = snapshot(DIFF_T2_US, "new_state")
+    joined = s1.join(s2, "user_id", "full_outer")
+    kind = (
+        F.when(F.col("old_state").isNull(), "added")
+        .when(F.col("new_state").isNull(), "removed")
+        .when(F.col("old_state") != F.col("new_state"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select("user_id", kind.alias("change_kind"), "old_state", "new_state")
+        .filter(F.col("change_kind") != "unchanged")
+    )
