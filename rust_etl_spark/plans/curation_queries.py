@@ -264,3 +264,89 @@ def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("id", F.lit(0))).cast("long").alias("id_checksum"),
         )
     )
+
+
+# ------------------------------------------------- context chunking
+
+CHUNK_LEN = 500
+CHUNK_STRIDE = 400  # 100-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunk",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text), {CHUNK_STRIDE})) AS start
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(start AS BIGINT) AS chunk_start,
+               CAST(length(substr(text, CAST(start AS INTEGER), {CHUNK_LEN})) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(start AS INTEGER), {CHUNK_LEN})) AS chunk_md5
+        FROM s
+    """,
+    doc=f"Context-window chunking: split each document into {CHUNK_LEN}-char "
+    f"chunks with {CHUNK_LEN - CHUNK_STRIDE}-char overlap (stride "
+    f"{CHUNK_STRIDE}) — the retrieval/pretraining windowing step. Chunks "
+    "are verified by scalar fingerprints (start/len/md5) since the chunk "
+    "text itself is bulk payload; the plan is one map-side explode of a "
+    "bounded start sequence — zero shuffles.",
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (map-side only).
+
+    Each doc emits ceil(len/stride) chunk rows via an in-row
+    ``sequence`` explode — no shuffle anywhere; at 100 TB this
+    pipelines with the parquet scan and parallelizes by input split.
+    Character (not byte) offsets on both engines; the md5 fingerprint
+    hashes the chunk's UTF-8 bytes identically on both.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    chunk = F.substring(F.col("text"), F.col("start"), F.lit(CHUNK_LEN))
+    return (
+        docs.filter(n > 0)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(start - 1) div {CHUNK_STRIDE}").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
+# ------------------------------------------------- train/val/test split
+
+SPLIT_PCT = {"train": 80, "val": 10, "test": 10}  # documented; thresholds below
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_H_DOC} % 100 < 80 THEN 'train'
+                    WHEN {_H_DOC} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    doc="Deterministic train/val/test assignment (80/10/10) by content "
+    "hash — the split every training run must reproduce bit-identically "
+    "across engines, retries, and scale-ups (rand() cannot). Pure "
+    "map-side projection: zero shuffles, and the assignment of a given "
+    "doc never changes when the corpus grows.",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long60(F.col("doc_id")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))

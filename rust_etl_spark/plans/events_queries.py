@@ -864,3 +864,132 @@ def events_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("user_id", kind.alias("change_kind"), "old_state", "new_state")
         .filter(F.col("change_kind") != "unchanged")
     )
+
+
+# ------------------------------------------------------------- EWMA
+
+#: EWMA decay 0.5 over a bounded window of the last EWMA_K events.
+#: Integer weight of age ``a`` is ``2^(EWMA_K-1-a)`` — exact on every
+#: engine — and values are cent-quantized (floor(value*100)) so the
+#: weighted sum is pure BIGINT arithmetic; the only float op is the
+#: final division, one correctly-rounded IEEE divide on bit-identical
+#: integers, hence bit-identical across engines with no rounding
+#: helper needed.
+EWMA_K = 8
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100) AS BIGINT) AS vc,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts), event_id) AS rn
+            FROM events
+        )
+        SELECT a.event_id, a.user_id,
+               CAST(CAST(sum(b.vc * CAST(power(2, {EWMA_K - 1} - (a.rn - b.rn)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (100.0 * CAST(sum(CAST(power(2, {EWMA_K - 1} - (a.rn - b.rn)) AS BIGINT)) AS BIGINT)) AS ewma
+        FROM r a JOIN r b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {EWMA_K - 1} AND a.rn
+        GROUP BY a.event_id, a.user_id
+    """,
+    doc=f"Per-user exponentially weighted moving average (decay 0.5) over "
+    f"the last {EWMA_K} events — the TSDB smoothing primitive. Cent-"
+    "quantized integer weights make the weighted sum exact BIGINT math "
+    "on both engines; only the final divide is float (bit-identical).",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA via a single window pass + in-row fold (no self-join).
+
+    The oracle states the same sum as a bounded self-join; the Spark
+    plan instead collects the ROWS frame (at most EWMA_K values, frame
+    order = the window's total order) and folds it newest-first with
+    integer weights 2^(K-1), 2^(K-2), ... — one user_id shuffle, one
+    sort, zero joins; per-row state is bounded by EWMA_K. At 100 TB
+    this is strictly cheaper than the join form (which re-shuffles the
+    events table twice and fans out x K).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_ns",
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-(EWMA_K - 1), Window.currentRow)
+    )
+    vals = F.collect_list("vc").over(w)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("ws"),
+        F.lit(2 ** (EWMA_K - 1)).cast("long").alias("w"),
+    )
+    folded = F.aggregate(
+        F.reverse(vals),  # newest first: weights 2^(K-1), 2^(K-2), ...
+        zero,
+        lambda acc, v: F.struct(
+            (acc["s"] + v * acc["w"]).alias("s"),
+            (acc["ws"] + acc["w"]).alias("ws"),
+            F.shiftright(acc["w"], 1).alias("w"),
+        ),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (folded["s"].cast("double") / (F.lit(100.0) * folded["ws"])).alias("ewma"),
+    )
+
+
+# ------------------------------------------- rolling distinct users
+
+DAY_NS = 86_400_000_000_000
+ROLLING_DISTINCT_DAYS = 7
+
+
+@register(
+    "events_rolling_distinct",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT epoch_ns(ts) // {DAY_NS} AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+        FROM days d JOIN du u ON u.day BETWEEN d.day - {ROLLING_DISTINCT_DAYS - 1} AND d.day
+        GROUP BY d.day
+    """,
+    doc=f"Rolling {ROLLING_DISTINCT_DAYS}-day distinct active users per "
+    "event day — the DAU/WAU engagement metric. COUNT(DISTINCT) over a "
+    "sliding frame has no native Spark window form; the plan day-grain "
+    "dedups first, then fans each (day,user) out to the at most "
+    f"{ROLLING_DISTINCT_DAYS} windows it can serve (explode of a "
+    "bounded sequence), so cost is linear in distinct user-days.",
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counting via bounded fan-out.
+
+    Day-grain dedup shrinks the input to |distinct (day,user)| before
+    the x7 explode, and the final countDistinct shuffles on the target
+    day — both shuffles are on high-cardinality keys and AQE-
+    splittable. The semi join keeps only days that actually occur
+    (mirroring the oracle's observed-days driver table). No window
+    function touches an unbounded frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"ts_ns div {DAY_NS}").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("day").distinct()
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (ROLLING_DISTINCT_DAYS - 1))
+        ).alias("target_day"),
+        "user_id",
+    )
+    return (
+        fanned.join(days.withColumnRenamed("day", "target_day"), "target_day", "semi")
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
+        .select(F.col("target_day").alias("day"), "n_users_7d")
+    )
