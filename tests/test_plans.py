@@ -205,3 +205,34 @@ def test_tokenize_ids_broadcasts_vocab(spark):
 def test_integrity_audit_referential_rules_are_anti_joins(spark):
     plan = _formatted_plan(spark, "integrity_audit")
     assert plan.count("LeftAnti") >= 2
+
+
+def test_doc_chunk_is_map_side_only(spark):
+    """Chunking is an in-row sequence explode + substring projection:
+    any Exchange means the map-side-only contract broke."""
+    plan = _formatted_plan(spark, "doc_chunk")
+    assert "Exchange" not in plan
+
+
+def test_dataset_split_is_map_side_only(spark):
+    """Split assignment is a pure hash projection — zero shuffles."""
+    plan = _formatted_plan(spark, "dataset_split")
+    assert "Exchange" not in plan
+
+
+def test_events_ewma_single_shuffle_no_join(spark):
+    """EWMA is one user_id window pass + in-row fold. A Join (the
+    naive self-join formulation, which re-shuffles events twice and
+    fans out xK) or a second Exchange is a plan regression."""
+    plan = _formatted_plan(spark, "events_ewma")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_events_rolling_distinct_has_no_unbounded_window(spark):
+    """Rolling distinct counting is dedup + bounded fan-out + count:
+    no window operator at all (a RANGE-frame count-distinct would be
+    unbounded state), and no single-partition exchange."""
+    plan = _formatted_plan(spark, "events_rolling_distinct")
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
