@@ -64,6 +64,10 @@ EXTENDED = [
     "q9_product_profit",
     "q13_customer_distribution",
     "q16_part_supplier_variety",
+    "events_ewma",
+    "events_rolling_distinct",
+    "doc_chunk",
+    "dataset_split",
 ]
 
 HEADLINE = [

@@ -993,3 +993,130 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
         .select(F.col("target_day").alias("day"), "n_users_7d")
     )
+
+
+# ------------------------------------------------- attribution
+
+ATTRIB_LOOKBACK_US = 24 * 3600 * 1_000_000  # 24 h last-touch window
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type,
+                   CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+                   CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_t
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        l AS (
+            SELECT user_id, t_us, event_id, event_type,
+                   last_value(c_id IGNORE NULLS) OVER w AS click_id,
+                   last_value(c_t  IGNORE NULLS) OVER w AS click_t
+            FROM u
+            WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id AS purchase_id, user_id, click_id,
+               t_us - click_t AS delay_us
+        FROM l
+        WHERE event_type = 'purchase' AND click_id IS NOT NULL
+          AND t_us - click_t <= {ATTRIB_LOOKBACK_US}
+    """,
+    doc="Last-touch attribution: each purchase is credited to the same "
+    "user's most recent prior click within a 24 h lookback. The "
+    "union-then-window shape (one user_id shuffle, LOCF via "
+    "last(ignorenulls)) — never a per-purchase probe join, which is the "
+    "as-of shape that does NOT survive 100 TB.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution as a single-pass as-of self-correlation.
+
+    Clicks and purchases ride one event-time-ordered window per user;
+    click ids/times are carried forward LOCF-style, so each purchase
+    row reads its attribution in-row. One shuffle on user_id, state
+    per row is two carried values. The type filter is pushed to the
+    parquet scan (In(event_type) PushedFilter).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = ev.select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(F.col("event_type") == "click", F.expr("ts_ns div 1000")).alias("c_t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    l = u.select(
+        "user_id",
+        "t_us",
+        "event_id",
+        "event_type",
+        F.last("c_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("c_t", ignorenulls=True).over(w).alias("click_t"),
+    )
+    return (
+        l.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("click_id").isNotNull()
+            & ((F.col("t_us") - F.col("click_t")) <= ATTRIB_LOOKBACK_US)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            (F.col("t_us") - F.col("click_t")).alias("delay_us"),
+        )
+    )
+
+
+# ------------------------------------------------- path mining
+
+PATH_TOP_K = 10
+
+
+@register(
+    "events_top_sequences",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT {PATH_TOP_K}
+    """,
+    doc=f"Top-{PATH_TOP_K} three-step behavior paths (consecutive "
+    "event_type trigrams per user, total-ordered on (ts_ns, event_id); "
+    "ties broken by path string) — the navigation-pattern mining shape. "
+    "One user_id window shuffle; the path alphabet is tiny so the "
+    "aggregate is map-side-combined and the top-k is "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
