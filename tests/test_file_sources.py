@@ -152,3 +152,68 @@ def test_normalize_event_time_all_vintages(spark):
         row = out.selectExpr("ts_ns", "unix_micros(ts) AS us").collect()[0]
         assert row["ts_ns"] == base_us * 1000, vintage
         assert row["us"] == base_us, vintage
+
+
+# Full-table schema contract: every column the catalog's queries read,
+# with the dtype *class* they assume (exact widths may drift harmlessly;
+# a vanished column or a numeric<->string/timestamp flip is what broke
+# round 4). One pytest failure here names the drifted table/column
+# directly instead of surfacing as dozens of deep query errors.
+
+_CONTRACT = {
+    "region": {"r_regionkey": "int", "r_name": "str"},
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "customer": {"c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+                 "c_acctbal": "float", "c_mktsegment": "str"},
+    "supplier": {"s_suppkey": "int", "s_name": "str", "s_nationkey": "int",
+                 "s_acctbal": "float"},
+    "part": {"p_partkey": "int", "p_name": "str", "p_brand": "str",
+             "p_type": "str", "p_size": "int", "p_retailprice": "float"},
+    "orders": {"o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+               "o_totalprice": "float", "o_orderdate": "ts",
+               "o_orderpriority": "str"},
+    "lineitem": {"l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+                 "l_linenumber": "int", "l_quantity": "float",
+                 "l_extendedprice": "float", "l_discount": "float",
+                 "l_tax": "float", "l_returnflag": "str", "l_linestatus": "str",
+                 "l_shipdate": "ts"},
+    "events": {"event_id": "int", "ts_ns": "int", "ts": "ts", "user_id": "int",
+               "event_type": "str", "value": "float", "props": "str"},
+    "documents": {"doc_id": "int", "text": "str", "lang": "str",
+                  "source": "str", "n_chars": "int"},
+    "embeddings": {"vec_id": "int", "embedding": "arr<float>", "label": "int"},
+}
+
+
+def _dtype_class(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.ArrayType):
+        return f"arr<{_dtype_class(dt.elementType)}>"
+    return type(dt).__name__
+
+
+@pytest.mark.parametrize("sf_dir_path", FIXTURE_DIRS)
+def test_fixture_schema_contract_all_tables(spark, sf_dir_path):
+    problems = []
+    for table, expected in _CONTRACT.items():
+        schema = load_table(spark, sf_dir_path, table).schema
+        have = {f.name: _dtype_class(f.dataType) for f in schema.fields}
+        for col, klass in expected.items():
+            if col not in have:
+                problems.append(f"{sf_dir_path}/{table}.{col}: MISSING")
+            elif have[col] != klass:
+                problems.append(
+                    f"{sf_dir_path}/{table}.{col}: {have[col]} (contract: {klass})"
+                )
+    assert not problems, "fixture schema drift:\n" + "\n".join(problems)
