@@ -313,3 +313,37 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
     )
+
+
+@register(
+    "sketch_union_rollup",
+    oracle=None,  # Datasketches HLL binary internals are engine-specific;
+    # error-bounded against the exact answer in tests/test_approx.py
+    doc="Mergeable-sketch rollup: per-day HLL user sketches unioned into "
+    "weekly + total distinct-user estimates — the partial-sketch-then-"
+    "merge pattern an incremental 100 TB deployment stores instead of "
+    "raw ids (rows-only check; error bound pinned in pytest).",
+)
+def sketch_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical HLL union: day partials -> week -> total.
+
+    The day-grain sketch pass is the only scan of events; every wider
+    scope is a union of the KB-sized binary partials, never a rescan —
+    the architecture that lets a nightly job maintain exact-cost-free
+    DAU/WAU/MAU at any corpus size. Spark's hll_sketch_agg partials
+    are Datasketches-compatible, so the same partials could be merged
+    by any other Datasketches engine.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 86400000000000").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = (
+        daily.groupBy(F.expr("day div 7").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+        .select(F.concat(F.lit("week_"), F.col("week")).alias("scope"), "est_users")
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("total").alias("scope"), "est_users")
+    return weekly.unionByName(total)
