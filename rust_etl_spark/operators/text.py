@@ -631,3 +631,93 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("fp").cast("long").alias("n_unique_texts"),
         )
     )
+
+
+# ------------------------------------------- composed cleaning pipeline
+
+CLEAN_MIN_QUALITY = 0.45
+
+
+def _clean_pipeline_oracle() -> str:
+    toks = tokens_sql("text")
+    return f"""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   CAST(len({toks}) AS BIGINT) AS n_words,
+                   CASE WHEN len({toks}) = 0 THEN 0.0
+                        ELSE list_reduce(list_transform({toks}, x -> len(x)), (a, b) -> a + b)
+                             * 1.0 / len({toks}) END AS mwl,
+                   {round_half_up_sql(_QUALITY_SQL, 4)} AS quality,
+                   {predict_lang_sql(toks)} AS pred
+            FROM documents
+        )
+        SELECT doc_id, lang, n_words, quality,
+               CASE WHEN n_words < {GOPHER_MIN_WORDS} THEN 'too_short'
+                    WHEN n_words > {GOPHER_MAX_WORDS} THEN 'too_long'
+                    WHEN mwl < {GOPHER_MIN_MWL} OR mwl > {GOPHER_MAX_MWL} THEN 'word_len'
+                    WHEN pred <> lang THEN 'lang_mismatch'
+                    WHEN quality < {CLEAN_MIN_QUALITY} THEN 'low_quality'
+                    ELSE 'keep' END AS reason,
+               (CASE WHEN n_words < {GOPHER_MIN_WORDS} THEN 'too_short'
+                    WHEN n_words > {GOPHER_MAX_WORDS} THEN 'too_long'
+                    WHEN mwl < {GOPHER_MIN_MWL} OR mwl > {GOPHER_MAX_MWL} THEN 'word_len'
+                    WHEN pred <> lang THEN 'lang_mismatch'
+                    WHEN quality < {CLEAN_MIN_QUALITY} THEN 'low_quality'
+                    ELSE 'keep' END) = 'keep' AS keep
+        FROM m
+    """
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=_clean_pipeline_oracle(),
+    doc="Composed C4/RefinedWeb-style cleaning cascade in ONE map-side pass: "
+    f"word-count bounds [{GOPHER_MIN_WORDS},{GOPHER_MAX_WORDS}], mean-word-length "
+    f"[{GOPHER_MIN_MWL},{GOPHER_MAX_MWL}], language-ID agreement, quality floor "
+    f"{CLEAN_MIN_QUALITY} — every doc gets a keep verdict plus the FIRST failing "
+    "rule as its auditable reason code. Zero shuffles; the rule battery "
+    "evaluates inside whole-stage codegen on one documents scan.",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cleaning decision per document (rule cascade with reasons).
+
+    This is the production composition of lang_id + gopher_rules +
+    quality_score: signals are materialized once from a single token
+    array, the verdict is an in-row CASE — so the whole corpus-cleaning
+    decision is a linear scan that pipelines with the parquet reader at
+    any scale. Reason codes (not just a boolean) are what make a 100 TB
+    drop auditable: the dataset card reports drop counts per rule.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", alpha_ratio("text").alias("alpha"), tokens("text").alias("t")
+    )
+    n = F.size("t")
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(F.transform("t", F.length), F.lit(0).cast("long"), lambda a, x: a + x) / n
+    )
+    hits = {lang: stopword_hits(F.col("t"), STOPWORDS[lang]) for lang in LANG_ORDER}
+    m = base.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_words"),
+        mwl.alias("mwl"),
+        quality_expr(F.col("t"), F.col("alpha")).alias("quality"),
+        argmax_lang(hits).alias("pred"),
+    )
+    reason = (
+        F.when(F.col("n_words") < GOPHER_MIN_WORDS, "too_short")
+        .when(F.col("n_words") > GOPHER_MAX_WORDS, "too_long")
+        .when((F.col("mwl") < GOPHER_MIN_MWL) | (F.col("mwl") > GOPHER_MAX_MWL), "word_len")
+        .when(F.col("pred") != F.col("lang"), "lang_mismatch")
+        .when(F.col("quality") < CLEAN_MIN_QUALITY, "low_quality")
+        .otherwise("keep")
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "quality",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )

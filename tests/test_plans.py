@@ -236,3 +236,10 @@ def test_events_rolling_distinct_has_no_unbounded_window(spark):
     plan = _formatted_plan(spark, "events_rolling_distinct")
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_corpus_clean_pipeline_is_one_map_side_pass(spark):
+    """The composed cleaning cascade must stay a single map-side scan:
+    any Exchange means a signal regressed to a shuffle."""
+    plan = _formatted_plan(spark, "corpus_clean_pipeline")
+    assert "Exchange" not in plan
