@@ -1120,3 +1120,146 @@ def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# ------------------------------------------------- growth accounting
+
+@register(
+    "events_cumulative_users",
+    oracle=f"""
+        WITH d AS (
+            SELECT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id
+        ),
+        new_per_day AS (
+            SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+            FROM first_seen GROUP BY first_day
+        ),
+        days AS (SELECT DISTINCT day FROM d)
+        SELECT days.day AS day,
+               CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+               CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY days.day) AS BIGINT) AS cum_users
+        FROM days LEFT JOIN new_per_day ON days.day = new_per_day.day
+    """,
+    doc="Growth accounting: per-day NEW users (first-ever appearance) and "
+    "the cumulative user base — running COUNT(DISTINCT) rewritten as "
+    "first-touch dedup + prefix sum, the only shape that scales (a "
+    "distinct-over-growing-window would hold unbounded state). The "
+    "prefix sum runs over the tiny day domain, never over events.",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users via first-touch attribution.
+
+    min(day)-per-user is one user_id shuffle with map-side partial
+    min; everything after operates on |users| then |days| rows. The
+    ordered prefix sum is over the day table (dozens to thousands of
+    rows at any corpus size) — a deliberate, bounded single-partition
+    window, NOT an events-sized one.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"ts_ns div {DAY_NS}").alias("day"), "user_id"
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_per_day = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select("day").distinct()
+    joined = days.join(new_per_day, "day", "left").select(
+        "day", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("long").alias("cum_users")
+    )
+
+
+# ------------------------------------------------- skew diagnostics
+
+SKEW_TOP_K = 10
+
+
+def _skew_report_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    return f"""
+        WITH c AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+        ),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT user_id, n, {round_half_up_sql('n / total', 6)} AS share
+        FROM (SELECT * FROM c ORDER BY n DESC, user_id LIMIT {SKEW_TOP_K}) top
+        CROSS JOIN t
+    """
+
+
+@register(
+    "events_skew_report",
+    oracle=_skew_report_oracle(),
+    doc=f"Shuffle-key skew diagnostic: the top {SKEW_TOP_K} hottest user_id "
+    "keys with their share of all events — the measurement that decides "
+    "whether a join/agg on this key needs salting or AQE skew handling. "
+    "Top-k is TakeOrderedAndProject over the aggregated counts; the "
+    "grand total rides a broadcast single-row cross join, never a "
+    "window over the full key set.",
+)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measure-don't-guess prerequisite for skew mitigation.
+
+    One shuffle (the count groupBy, map-side combined); the hot-key
+    selection and share computation both operate on key-cardinality
+    data with the total broadcast — the report stays cheap even when
+    the key space is billions.
+    """
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "user_id").limit(SKEW_TOP_K)
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    return top.crossJoin(F.broadcast(total)).select(
+        "user_id", "n", round_half_up(F.col("n") / F.col("total"), 6).alias("share")
+    )
+
+
+# ------------------------------------------------- props key profile
+
+@register(
+    "props_key_profile",
+    oracle="""
+        WITH kv AS (
+            SELECT unnest(json_keys(props)) AS key,
+                   props
+            FROM events WHERE props IS NOT NULL
+        ),
+        typed AS (
+            SELECT key,
+                   TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS num_val
+            FROM kv
+        )
+        SELECT key,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT num_val) AS BIGINT) AS n_distinct,
+               CAST(min(num_val) AS BIGINT) AS min_val,
+               CAST(max(num_val) AS BIGINT) AS max_val
+        FROM typed GROUP BY key
+    """,
+    doc="Semi-structured payload profiling: per JSON key in events.props — "
+    "presence count, distinct values, numeric min/max. The schema-drift "
+    "observability a pipeline ingesting loosely-typed payloads runs "
+    "before promoting a key to a typed column; one map-side parse "
+    "(from_json to a map) + one key-grain aggregate.",
+)
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    typed = kv.select("key", F.col("val").cast("long").alias("num_val"))
+    return typed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("num_val").cast("long").alias("n_distinct"),
+        F.min("num_val").cast("long").alias("min_val"),
+        F.max("num_val").cast("long").alias("max_val"),
+    )
