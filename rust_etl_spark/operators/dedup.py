@@ -456,7 +456,16 @@ JACCARD_THRESHOLD = 0.2
 #: is then Jaccard over the *discriminative* shingle universe).
 JACCARD_DF_CAP = 64
 
-_SHINGLES_SQL = f"list_distinct({word_shingles_sql(tokens_sql('text'), JACCARD_SHINGLE_N)})"
+#: Shingles are hashed to 60-bit BIGINTs *before* any shuffle: the
+#: inverted-index stages key on `sh`, and an 8-byte long shuffles ~4x
+#: fewer bytes than a raw 3-token shingle string (measured at sf0.1:
+#: 34.7 MB -> see SCALE_AUDIT.md). Collisions (2^-60) are mirrored
+#: exactly by the oracle, which applies the identical md5 hash.
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    f"{word_shingles_sql(tokens_sql('text'), JACCARD_SHINGLE_N)}, "
+    f"s -> {md5_long60_sql('s')}))"
+)
 
 _JACCARD_ORACLE = f"""
     WITH sh_all AS (
@@ -508,7 +517,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens("text").alias("t"))
     sh_all = toks.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("t"), JACCARD_SHINGLE_N))).alias("sh"),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(F.col("t"), JACCARD_SHINGLE_N), md5_long60)
+            )
+        ).alias("sh"),
     )
     capped = sh_all.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
@@ -1043,7 +1056,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens("text").alias("t"))
     sh_all = toks.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("t"), JACCARD_SHINGLE_N))).alias("sh"),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(F.col("t"), JACCARD_SHINGLE_N), md5_long60)
+            )
+        ).alias("sh"),
     )
     capped = sh_all.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
