@@ -66,13 +66,17 @@ GRADE_ORDER: tuple[str, ...] = (
     # §2c similarity search family
     "similarity_topk", "lsh_bucket_assign", "similarity_ann_lsh",
     "dedup_embedding_lsh", "ivf_assign", "similarity_ann_ivf",
-    # §2c text analysis family (+ winnowing local fingerprints, round 4)
+    # §2c text analysis family (+ winnowing local fingerprints, round 4;
+    # round 5 adds the composed C4-style cleaning cascade — the
+    # keep/drop-with-reason-codes pipeline a real curation run ships)
     "text_stats", "token_count", "lang_id", "quality_score", "doc_fingerprint",
-    "doc_winnow",
-    # §2c multimodal + grouped-map (frame_sample holds the second graded
-    # slot — full oracle — while the rows-only Arrow feature extractor
-    # stays pytest-bounded past the window)
-    "multimodal_meta", "multimodal_frame_sample", "grouped_normalize",
+    "doc_winnow", "corpus_clean_pipeline",
+    # §2c multimodal (frame_sample holds the second graded slot — full
+    # oracle — while the rows-only Arrow feature extractor stays
+    # pytest-bounded past the window). grouped_normalize moved
+    # past-window in round 5 (Arrow grouped-map stays represented
+    # in-window by multimodal_frame_sample, which is applyInPandas too).
+    "multimodal_meta", "multimodal_frame_sample",
     # §2a reference-parity ETL operators
     "explode_array", "struct_unnest", "decode_codepoints", "drop_technical",
     # event-time / streaming-batch surface
