@@ -721,3 +721,27 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "keep").alias("keep"),
     )
+
+
+@register(
+    "lang_confusion",
+    oracle=f"""
+        SELECT lang, {predict_lang_sql(tokens_sql('text'))} AS pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    """,
+    doc="Language-ID confusion matrix: recorded label x stopword-argmax "
+    "prediction with counts — the evaluation artifact that calibrates "
+    "how much to trust the classifier per language before gating on "
+    "it. One map-side predict + a 25-cell aggregate.",
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", tokens("text").alias("t"))
+    hits = base.select(
+        "lang", *[stopword_hits(F.col("t"), STOPWORDS[lang]).alias(f"h_{lang}") for lang in LANG_ORDER]
+    )
+    pred = argmax_lang({lang: F.col(f"h_{lang}") for lang in LANG_ORDER})
+    return hits.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -1263,3 +1263,119 @@ def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("num_val").cast("long").alias("min_val"),
         F.max("num_val").cast("long").alias("max_val"),
     )
+
+
+# ------------------------------------------------- throttling
+
+RATE_LIMIT_N = 5
+HOUR_NS = 3_600_000_000_000
+
+
+@register(
+    "events_rate_limit",
+    oracle=f"""
+        SELECT event_id, user_id, hour, rn FROM (
+            SELECT event_id, user_id,
+                   epoch_ns(ts) // {HOUR_NS} AS hour,
+                   CAST(row_number() OVER (
+                        PARTITION BY user_id, epoch_ns(ts) // {HOUR_NS}
+                        ORDER BY epoch_ns(ts), event_id) AS BIGINT) AS rn
+            FROM events
+        ) t WHERE rn <= {RATE_LIMIT_N}
+    """,
+    doc=f"Per-user rate limiting: keep the first {RATE_LIMIT_N} events per "
+    "user-hour (arrival order, event_id tie-break) — the bot/abuse "
+    "throttle every ingest pipeline applies before expensive "
+    "processing. One shuffle on the compound (user, hour) key, which "
+    "is finer than user_id alone — hot users spread across hours.",
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_ns", F.expr(f"ts_ns div {HOUR_NS}").alias("hour")
+    )
+    w = Window.partitionBy("user_id", "hour").orderBy("ts_ns", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= RATE_LIMIT_N)
+        .select("event_id", "user_id", "hour", "rn")
+    )
+
+
+# ------------------------------------------------- activity heatmap
+
+#: 1970-01-01 (epoch day 0) was a Thursday; +3 maps Monday->0, so
+#: day 0 lands on index 3 (Thursday) as it should.
+_DOW_SQL = f"((epoch_ns(ts) // {DAY_NS} + 3) % 7)"
+
+
+@register(
+    "events_activity_heatmap",
+    oracle=f"""
+        SELECT {_DOW_SQL} AS dow,
+               (epoch_ns(ts) % {DAY_NS}) // {HOUR_NS} AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    doc="Day-of-week x hour-of-day activity heatmap (events + distinct "
+    "users per cell) — the seasonality fingerprint behind capacity "
+    "planning and anomaly baselines. Pure integer epoch arithmetic "
+    "(no timezone/calendar functions, so both engines agree exactly); "
+    "one aggregate onto a 168-cell grid, map-side combined.",
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(f"(ts_ns div {DAY_NS} + 3) % 7").alias("dow"),
+            F.expr(f"(ts_ns % {DAY_NS}) div {HOUR_NS}").alias("hour_of_day"),
+            "user_id",
+        )
+        .groupBy("dow", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+# ------------------------------------------------- streaks
+
+@register(
+    "events_streaks",
+    oracle=f"""
+        WITH d AS (
+            SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
+        ),
+        isl AS (
+            SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+            FROM d
+        ),
+        runs AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS len
+            FROM isl GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(max(len) AS BIGINT) AS max_streak,
+               CAST(count(*) AS BIGINT) AS n_streaks
+        FROM runs GROUP BY user_id
+    """,
+    doc="Longest consecutive-day activity streak per user (gaps-and-"
+    "islands: day minus per-user rank is constant within a run) — the "
+    "engagement metric behind retention scoring. Day-grain dedup "
+    "first, so the window and both aggregates run over user-days, "
+    "not raw events; all three shuffles share the user_id key.",
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_ns div {DAY_NS}").alias("day")
+    )
+    d = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("max_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
