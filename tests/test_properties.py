@@ -206,3 +206,86 @@ def test_ohlc_envelope_invariants(spark):
         assert r["low"] <= r["close"] <= r["high"], r
         assert r["n"] >= 1
     assert sum(r["n"] for r in rows) == load_table(spark, sf, "events").count()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=10**9),      # ts_ns
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SLOW
+def test_ewma_fold_matches_python_reference(spark, rows):
+    """The window-collect+fold EWMA must equal a direct per-user Python
+    computation of sum(vc * 2^(K-1-age)) / (100 * sum(2^(K-1-age)))
+    over the last K events (cent-floor quantized)."""
+    import math
+    from collections import defaultdict
+
+    from rust_etl_spark.plans.events_queries import EWMA_K, events_ewma
+
+    data = [(i, u, t, v) for i, (u, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts_ns long, value double")
+
+    import rust_etl_spark.sources.tables as tables
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda _s, _d, _n: df
+        # events_ewma resolves load_table at call time via its module import
+        import rust_etl_spark.plans.events_queries as eq
+        eq_orig = eq.load_table
+        eq.load_table = lambda _s, _d, _n: df
+        got = {r["event_id"]: r["ewma"] for r in events_ewma(spark, "ignored").collect()}
+    finally:
+        tables.load_table = orig
+        eq.load_table = eq_orig
+
+    per_user = defaultdict(list)
+    for eid, u, t, v in sorted(data, key=lambda r: (r[1], r[2], r[0])):
+        per_user[u].append((eid, math.floor(v * 100)))
+    for u, seq in per_user.items():
+        for i, (eid, _) in enumerate(seq):
+            window = seq[max(0, i - (EWMA_K - 1)): i + 1]
+            s = ws = 0
+            for age, (_, vc) in enumerate(reversed(window)):
+                w = 2 ** (EWMA_K - 1 - age)
+                s += vc * w
+                ws += w
+            expect = s / (100.0 * ws)
+            assert got[eid] == expect, (eid, got[eid], expect)
+
+
+@given(st.text(min_size=0, max_size=1400))
+@_SLOW
+def test_doc_chunk_tiles_the_document(spark, text):
+    """Chunks must tile the doc: starts at 1, 1+stride, ...; every chunk
+    is CHUNK_LEN chars except possibly the last; overlapping re-assembly
+    reconstructs the original text exactly."""
+    from rust_etl_spark.plans.curation_queries import CHUNK_LEN, CHUNK_STRIDE, doc_chunk
+    import rust_etl_spark.plans.curation_queries as cq
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    orig = cq.load_table
+    try:
+        cq.load_table = lambda _s, _d, _n: df
+        rows = sorted(
+            (r["chunk_start"], r["chunk_len"]) for r in doc_chunk(spark, "ignored").collect()
+        )
+    finally:
+        cq.load_table = orig
+
+    n = len(text)
+    if n == 0:
+        assert rows == []
+        return
+    expect_starts = list(range(1, n + 1, CHUNK_STRIDE))
+    assert [s for s, _ in rows] == expect_starts
+    for s, ln in rows:
+        assert ln == min(CHUNK_LEN, n - s + 1)
+    # stride < chunk -> consecutive chunks overlap; coverage is total
+    assert rows[-1][0] + rows[-1][1] - 1 == n
