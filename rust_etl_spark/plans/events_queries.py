@@ -1379,3 +1379,64 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("max_streak"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )
+
+
+# ------------------------------------------------- spike detection
+
+SPIKE_BASELINE_DAYS = 7
+SPIKE_RATIO_TAU = 1.2
+
+
+def _spike_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    return f"""
+        WITH daily AS (
+            SELECT epoch_ns(ts) // {DAY_NS} AS day, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        base AS (
+            SELECT day, n,
+                   CAST(sum(n) OVER w AS BIGINT) AS base_n,
+                   CAST(count(*) OVER w AS BIGINT) AS base_days
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN {SPIKE_BASELINE_DAYS} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, n, base_n, base_days,
+               {round_half_up_sql('n * base_days / base_n', 4)} AS ratio
+        FROM base
+        WHERE base_days >= 3 AND n * base_days / base_n >= {SPIKE_RATIO_TAU}
+    """
+
+
+@register(
+    "events_spike_detect",
+    oracle=_spike_oracle(),
+    doc=f"Traffic-spike detection: flag days whose event volume is >= "
+    f"{SPIKE_RATIO_TAU}x their trailing {SPIKE_BASELINE_DAYS}-day mean "
+    "(warm-up days with < 3 baseline days are skipped) — the volume-"
+    "anomaly alert a monitoring pipeline runs on every ingest stream. "
+    "The ratio n*base_days/base_n is computed on exact BIGINTs with one "
+    "final IEEE divide, so both engines agree bit-for-bit; the window "
+    "runs over the tiny day domain, never over events.",
+)
+def events_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"ts_ns div {DAY_NS}").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day").rowsBetween(-SPIKE_BASELINE_DAYS, -1)
+    base = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("base_n"),
+        F.count(F.lit(1)).over(w).cast("long").alias("base_days"),
+    )
+    ratio = F.col("n") * F.col("base_days") / F.col("base_n")
+    return (
+        base.filter((F.col("base_days") >= 3) & (ratio >= SPIKE_RATIO_TAU))
+        .select("day", "n", "base_n", "base_days", round_half_up(ratio, 4).alias("ratio"))
+    )
