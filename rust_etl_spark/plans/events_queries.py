@@ -1440,3 +1440,59 @@ def events_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter((F.col("base_days") >= 3) & (ratio >= SPIKE_RATIO_TAU))
         .select("day", "n", "base_n", "base_days", round_half_up(ratio, 4).alias("ratio"))
     )
+
+
+# ------------------------------------------------- markov transitions
+
+def _markov_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    return f"""
+        WITH s AS (
+            SELECT event_type AS src,
+                   lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS dst
+            FROM events
+        ),
+        pairs AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        tot AS (
+            SELECT src, dst, n, CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS n_src
+            FROM pairs
+        )
+        SELECT src, dst, n, {round_half_up_sql('n / n_src', 4)} AS p
+        FROM tot
+    """
+
+
+@register(
+    "events_markov_transition",
+    oracle=_markov_oracle(),
+    doc="First-order Markov transition matrix over per-user event_type "
+    "streams: P(dst | src) from consecutive pairs — the behavioral "
+    "model behind next-action prediction and anomalous-session scoring. "
+    "Exact BIGINT pair counts with one final divide (bit-identical); "
+    "the per-src normalization window runs over the 25-cell matrix, "
+    "never over events.",
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("src"), F.lead("event_type", 1).over(w).alias("dst")
+    )
+    pairs = (
+        s.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.withColumn(
+        "n_src", F.sum("n").over(Window.partitionBy("src")).cast("long")
+    )
+    return tot.select(
+        "src", "dst", "n", round_half_up(F.col("n") / F.col("n_src"), 4).alias("p")
+    )
