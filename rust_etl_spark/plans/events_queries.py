@@ -1404,19 +1404,21 @@ def _spike_oracle() -> str:
                          ROWS BETWEEN {SPIKE_BASELINE_DAYS} PRECEDING AND 1 PRECEDING)
         )
         SELECT day, n, base_n, base_days,
-               {round_half_up_sql('n * base_days / base_n', 4)} AS ratio
+               {round_half_up_sql('n * base_days / base_n', 4)} AS ratio,
+               n * base_days / base_n >= {SPIKE_RATIO_TAU} AS is_spike
         FROM base
-        WHERE base_days >= 3 AND n * base_days / base_n >= {SPIKE_RATIO_TAU}
+        WHERE base_days >= 3
     """
 
 
 @register(
     "events_spike_detect",
     oracle=_spike_oracle(),
-    doc=f"Traffic-spike detection: flag days whose event volume is >= "
-    f"{SPIKE_RATIO_TAU}x their trailing {SPIKE_BASELINE_DAYS}-day mean "
-    "(warm-up days with < 3 baseline days are skipped) — the volume-"
-    "anomaly alert a monitoring pipeline runs on every ingest stream. "
+    doc=f"Traffic-spike detection: every baseline-qualified day with its "
+    f"volume ratio vs the trailing {SPIKE_BASELINE_DAYS}-day mean and an "
+    f"is_spike flag at {SPIKE_RATIO_TAU}x (emitting the full series, not "
+    "just alerts, keeps the check non-vacuous on smooth traffic and is "
+    "what the alerting dashboard plots anyway). "
     "The ratio n*base_days/base_n is computed on exact BIGINTs with one "
     "final IEEE divide, so both engines agree bit-for-bit; the window "
     "runs over the tiny day domain, never over events.",
@@ -1436,9 +1438,13 @@ def events_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("base_days"),
     )
     ratio = F.col("n") * F.col("base_days") / F.col("base_n")
-    return (
-        base.filter((F.col("base_days") >= 3) & (ratio >= SPIKE_RATIO_TAU))
-        .select("day", "n", "base_n", "base_days", round_half_up(ratio, 4).alias("ratio"))
+    return base.filter(F.col("base_days") >= 3).select(
+        "day",
+        "n",
+        "base_n",
+        "base_days",
+        round_half_up(ratio, 4).alias("ratio"),
+        (ratio >= SPIKE_RATIO_TAU).alias("is_spike"),
     )
 
 
