@@ -745,3 +745,56 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ------------------------------------------------- BPE pair statistics
+
+BPE_PAIR_TOPK = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+        WITH w AS (
+            SELECT unnest({tokens_sql('text')}) AS w FROM documents
+        ),
+        p AS (
+            SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                         i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+            FROM w WHERE len(w) >= 2
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS freq
+        FROM p GROUP BY pair
+        ORDER BY freq DESC, pair
+        LIMIT {BPE_PAIR_TOPK}
+    """,
+    doc=f"Character merge-pair frequencies (top {BPE_PAIR_TOPK}, lexicographic "
+    "tie-break): the statistic the byte-pair-encoding training loop maximizes "
+    "each merge round — ngram_counts' word-level complement. Pairs are cut "
+    "with an in-row substring slide (no char-explode blowup); two-phase "
+    "count; the only shuffle key is the 2-char pair.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE statistics pass (adjacent character pairs within words).
+
+    In production BPE re-runs this after each merge over the updated
+    symbol sequences; this op is that inner loop's counting step,
+    expressed so the expansion (len(w)-1 pairs per word) happens
+    in-row inside codegen and only (pair, partial count) rows shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(tokens("text")).alias("w")).filter(F.length("w") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(BPE_PAIR_TOPK)
+    )

@@ -1502,3 +1502,86 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "src", "dst", "n", round_half_up(F.col("n") / F.col("n_src"), 4).alias("p")
     )
+
+
+# ------------------------------------------------- lateness profile
+
+#: Two-level prefix-max block width: event_id div LATE_BLOCK groups
+#: ~1000 arrivals per block so no window ever spans the full stream.
+LATE_BLOCK = 1000
+
+_LATE_BUCKETS = (
+    ("on_time", "lat_ms = 0", 0),
+    ("lt_1s", "lat_ms > 0 AND lat_ms < 1000", 1),
+    ("lt_10s", "lat_ms >= 1000 AND lat_ms < 10000", 2),
+    ("lt_100s", "lat_ms >= 10000 AND lat_ms < 100000", 3),
+    ("lt_1000s", "lat_ms >= 100000 AND lat_ms < 1000000", 4),
+    ("ge_1000s", "lat_ms >= 1000000", 5),
+)
+
+_LATE_CASE = "CASE " + " ".join(
+    f"WHEN {cond} THEN '{name}'" for name, cond, _ in _LATE_BUCKETS
+) + " END"
+_LATE_ORD = "CASE " + " ".join(
+    f"WHEN {cond} THEN {ordn}" for _, cond, ordn in _LATE_BUCKETS
+) + " END"
+
+
+@register(
+    "events_lateness_profile",
+    oracle=f"""
+        WITH l AS (
+            SELECT (max(epoch_ns(ts)) OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - epoch_ns(ts)) // 1000000 AS lat_ms
+            FROM events
+        )
+        SELECT {_LATE_CASE} AS bucket,
+               CAST({_LATE_ORD} AS BIGINT) AS bucket_ord,
+               CAST(count(*) AS BIGINT) AS n
+        FROM l GROUP BY 1, 2
+    """,
+    doc="Event-lateness profile: how far behind the high-watermark (max "
+    "event time seen so far, in arrival = event_id order) each event "
+    "arrives, bucketed in decades of milliseconds — THE statistic that "
+    "sizes a Structured Streaming watermark (pick the bucket covering "
+    "your completeness target). Spark computes the running max with a "
+    "two-level prefix (per-1000-arrival block maxima, then a block-"
+    "domain scan), so no window spans the raw stream.",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing via distributed running max.
+
+    The oracle states the naive unbounded running max; the Spark plan
+    decomposes it: (1) per-block max (block = event_id div 1000, a
+    map-side-combinable groupBy), (2) exclusive prefix max across the
+    tiny block domain, (3) in-block running max + the carried prefix.
+    Same decomposition as window_range_frame's two-level prefix sum —
+    the general recipe for turning any unbounded ordered aggregate
+    into bounded-state stages.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ns")
+    ev = ev.withColumn("blk", F.expr(f"event_id div {LATE_BLOCK}"))
+    blk_max = ev.groupBy("blk").agg(F.max("ts_ns").alias("blk_max"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blk_max.select(
+        "blk", F.max("blk_max").over(w_blk).alias("prev_max")
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_max = (
+        ev.join(prefix, "blk")
+        .withColumn("run_in", F.max("ts_ns").over(w_in))
+        .withColumn("hwm", F.greatest(F.coalesce("prev_max", F.lit(-(2**62))), F.col("run_in")))
+    )
+    lat = with_max.select(
+        F.expr("(hwm - ts_ns) div 1000000").alias("lat_ms")
+    )
+    bucket = F.expr(_LATE_CASE)
+    ordn = F.expr(_LATE_ORD).cast("long")
+    return lat.select(bucket.alias("bucket"), ordn.alias("bucket_ord")).groupBy(
+        "bucket", "bucket_ord"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

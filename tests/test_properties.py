@@ -289,3 +289,54 @@ def test_doc_chunk_tiles_the_document(spark, text):
         assert ln == min(CHUNK_LEN, n - s + 1)
     # stride < chunk -> consecutive chunks overlap; coverage is total
     assert rows[-1][0] + rows[-1][1] - 1 == n
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**13), min_size=1, max_size=60)
+)
+@_SLOW
+def test_lateness_profile_two_level_prefix_matches_naive(spark, ts_list):
+    """The blocked two-level running max must equal the naive
+    unbounded-window lateness on arbitrary (out-of-order) streams —
+    the fixture arrives sorted, so only this test exercises late
+    buckets."""
+    from collections import Counter
+
+    import rust_etl_spark.plans.events_queries as eq
+
+    data = [(i, t) for i, t in enumerate(ts_list)]
+    df = spark.createDataFrame(data, "event_id long, ts_ns long")
+    orig = eq.load_table
+    try:
+        # Shrink the block so the multi-block path is exercised even
+        # on small hypothesis streams.
+        eq.load_table = lambda _s, _d, _n: df
+        orig_blk, eq.LATE_BLOCK = eq.LATE_BLOCK, 8
+        try:
+            got = {
+                r["bucket"]: r["n"]
+                for r in eq.events_lateness_profile(spark, "ignored").collect()
+            }
+        finally:
+            eq.LATE_BLOCK = orig_blk
+    finally:
+        eq.load_table = orig
+
+    hwm, expect = -1, Counter()
+    for _, t in data:
+        hwm = max(hwm, t)
+        ms = (hwm - t) // 1_000_000
+        if ms == 0:
+            b = "on_time"
+        elif ms < 1000:
+            b = "lt_1s"
+        elif ms < 10_000:
+            b = "lt_10s"
+        elif ms < 100_000:
+            b = "lt_100s"
+        elif ms < 1_000_000:
+            b = "lt_1000s"
+        else:
+            b = "ge_1000s"
+        expect[b] += 1
+    assert got == dict(expect)
