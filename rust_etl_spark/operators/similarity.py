@@ -555,3 +555,47 @@ def embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.max("nsq"), 6).alias("max_normsq"),
         F.round(F.avg("nsq"), 4).alias("avg_normsq"),
     )
+
+
+# ------------------------------------------------- bucket balance
+
+@register(
+    "lsh_bucket_balance",
+    oracle=f"""
+        WITH {_BUCKETS_SQL},
+        sizes AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM buckets GROUP BY bucket
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(min(n) AS BIGINT) AS min_size,
+               CAST(max(n) AS BIGINT) AS max_size,
+               CAST(sum(n) AS BIGINT) AS n_vectors,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM sizes
+    """,
+    doc="LSH bucket-balance diagnostic: bucket count, min/max occupancy, "
+    "and the sum of squared sizes (whose ratio to n^2 is the candidate-"
+    "pair cost of the bucketed join) — the load-balance measurement "
+    "that decides whether the plane count needs raising before the "
+    "pair stage. Integer outputs only; two bounded aggregates.",
+)
+def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN capacity planning: sum_sq IS the pair-stage cost model.
+
+    Bucket sizes come from one group-by over the map-side bucket
+    assignment (operators/similarity.py:lsh_bucket_assign); the final
+    reduce is over at most 2^N_PLANES rows. At 100 TB this report is
+    what tells you a hot bucket will quadratically dominate the
+    candidate join before you pay for it.
+    """
+    from rust_etl_spark.plans.catalog import get as _get
+
+    buckets = _get("lsh_bucket_assign").fn(spark, sf_dir)
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min("n").cast("long").alias("min_size"),
+        F.max("n").cast("long").alias("max_size"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+    )

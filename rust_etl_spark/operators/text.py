@@ -798,3 +798,70 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "pair")
         .limit(BPE_PAIR_TOPK)
     )
+
+
+# ------------------------------------------------- vocab coverage
+
+VOCAB_COVERAGE_KS = (100, 500, 1000)
+
+
+def _vocab_coverage_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    ks = ", ".join(str(k) for k in VOCAB_COVERAGE_KS)
+    return f"""
+        WITH tok AS (
+            SELECT unnest({tokens_sql('text')}) AS w FROM documents
+        ),
+        counts AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY w
+        ),
+        ranked AS (
+            SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS r
+            FROM counts QUALIFY r <= {max(VOCAB_COVERAGE_KS)}
+        ),
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts)
+        SELECT k, CAST(covered AS BIGINT) AS covered, total,
+               {round_half_up_sql('covered / total', 6)} AS coverage
+        FROM (
+            SELECT k, sum(CASE WHEN r <= k THEN freq ELSE 0 END) AS covered
+            FROM ranked CROSS JOIN (SELECT unnest([{ks}]) AS k) ks
+            GROUP BY k
+        ) c CROSS JOIN tot
+    """
+
+
+@register(
+    "vocab_coverage",
+    oracle=_vocab_coverage_oracle(),
+    doc=f"Tokenizer-sizing curve: fraction of all token occurrences covered "
+    f"by the top-k frequency-ranked vocabulary at k = {VOCAB_COVERAGE_KS} "
+    "(total order on (freq DESC, token)) — the statistic that picks a "
+    "vocab size before training. The rank window runs over only the "
+    f"top-{max(VOCAB_COVERAGE_KS)} candidates (TakeOrderedAndProject), "
+    "never the full vocabulary; the grand total is a broadcast scalar.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    top = counts.orderBy(F.col("freq").desc(), "w").limit(max(VOCAB_COVERAGE_KS))
+    wv = Window.orderBy(F.col("freq").desc(), "w")
+    ranked = top.withColumn("r", F.row_number().over(wv))
+    ks = spark.createDataFrame([(k,) for k in VOCAB_COVERAGE_KS], "k int")
+    covered = (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("r") <= F.col("k"), F.col("freq")).otherwise(0)).alias("covered"))
+    )
+    total = counts.agg(F.sum("freq").cast("long").alias("total"))
+    return covered.crossJoin(F.broadcast(total)).select(
+        "k",
+        F.col("covered").cast("long").alias("covered"),
+        "total",
+        round_half_up(F.col("covered") / F.col("total"), 6).alias("coverage"),
+    )
