@@ -1585,3 +1585,52 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lat.select(bucket.alias("bucket"), ordn.alias("bucket_ord")).groupBy(
         "bucket", "bucket_ord"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ------------------------------------------------- dwell time
+
+def _dwell_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    return f"""
+        WITH d AS (
+            SELECT event_type,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                   - epoch_us(ts) AS dwell_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(dwell_us) AS BIGINT) AS n,
+               CAST(sum(dwell_us) AS BIGINT) AS total_us,
+               {round_half_up_sql('sum(dwell_us) / count(dwell_us) / 1000000.0', 3)} AS avg_s
+        FROM d WHERE dwell_us IS NOT NULL
+        GROUP BY event_type
+    """
+
+
+@register(
+    "events_dwell_time",
+    oracle=_dwell_oracle(),
+    doc="Dwell time per event_type: gap to the user's next event "
+    "(per-user lead, total order on (ts_ns, event_id)), aggregated as "
+    "exact integer micros with one final divide — where users spend "
+    "their session time, the UX metric behind funnel drop-off "
+    "analysis. One user_id window shuffle + a 5-row aggregate.",
+)
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    t_us = F.expr("ts_ns div 1000")
+    d = ev.select(
+        "event_type", (F.lead(t_us).over(w) - t_us).alias("dwell_us")
+    ).filter(F.col("dwell_us").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.count("dwell_us").cast("long").alias("n"),
+        F.sum("dwell_us").cast("long").alias("total_us"),
+        round_half_up(
+            F.sum("dwell_us") / F.count("dwell_us") / F.lit(1000000.0), 3
+        ).alias("avg_s"),
+    )

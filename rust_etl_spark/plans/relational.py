@@ -627,3 +627,48 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w.orderBy("freq", "c_custkey")).cast("long").alias("f_score"),
         F.ntile(5).over(w.orderBy("monetary", "c_custkey")).cast("long").alias("m_score"),
     )
+
+
+# ------------------------------------------------- LTV deciles
+
+@register(
+    "customer_ltv_deciles",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        dec AS (
+            SELECT o_custkey, cents,
+                   CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+            FROM spend
+        )
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM dec GROUP BY decile
+    """,
+    doc="Customer lifetime-value deciles: per-customer order spend in "
+    "exact integer cents (floor-quantized, engine-identical), ntile(10) "
+    "under a total order, per-decile occupancy and spend envelope — the "
+    "value-segmentation behind tiered retention spend. The global ntile "
+    "runs over customer-grain rows (not orders); its single-partition "
+    "cost is bounded by the customer count, and the same decile edges "
+    "could be derived two-phase from percentile ranks at larger scale.",
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    dec = spend.select("o_custkey", "cents", F.ntile(10).over(w).cast("long").alias("decile"))
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
