@@ -174,6 +174,7 @@ def _ensure_loaded() -> None:
     from rust_etl_spark.operators import (  # noqa: F401
         dedup,
         grouped,
+        layout,
         multimodal,
         packing,
         similarity,

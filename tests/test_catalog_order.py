@@ -26,6 +26,10 @@ ROWS_ONLY_OK = {
     # Datasketches HLL partials are engine-specific binaries; the
     # estimate is error-bounded vs the exact answer in test_approx.py.
     "sketch_union_rollup",
+    # xxhash64 bloom positions have no DuckDB twin; the output row
+    # carries its own evidence and test_layout.py pins the bounds
+    # (zero false negatives, fp-rate ceiling).
+    "bloom_prefilter",
 }
 
 
