@@ -347,3 +347,90 @@ def sketch_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("total").alias("scope"), "est_users")
     return weekly.unionByName(total)
+
+
+# -------------------------------------------------------- 2-D skyline
+
+#: Coarse-grid width for the skyline pre-filter (price axis). The
+#: fixture's p_retailprice spans ~900-1000, so 5.0 gives ~20 buckets;
+#: the width is a tuning constant per deployment (target: enough
+#: buckets that the running max saturates early).
+SKY_GRID_W = 5.0
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+        )
+        ORDER BY p.p_retailprice, p.p_partkey
+    """,
+    doc="2-D skyline (Pareto frontier): parts with no rival both cheaper "
+    "and at-least-as-large (min price, max size; strict on one axis). "
+    "The preference-query operator behind 'most-X-for-the-money' "
+    "shortlists; grid-prune first, exact dominance check on survivors.",
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed skyline: coarse-grid prune, then exact check.
+
+    Dominance (q dominates p): q.price <= p.price AND q.size >= p.size
+    AND strict on at least one axis.
+
+    Phase 1 (prune): bucket the price axis at SKY_GRID_W, take max
+    size per bucket (tiny agg), then the running max over STRICTLY
+    cheaper buckets — any row whose size does not exceed that bound is
+    dominated by some part in an earlier bucket and is discarded. That
+    running max runs on #buckets rows (price-range/SKY_GRID_W — ~20 on
+    the fixture domain; at 100 TB the bucket aggregate combines map-side and
+    the window input stays bucket-count-sized, never corpus-sized).
+    Survivors are the skyline plus at most one grid-cell's worth of
+    borderline rows per bucket (prune ratio pinned in
+    tests/test_layout.py).
+
+    Phase 2 (exact, on survivors only): per distinct candidate price,
+    m2 = max size at the SAME price and m1 = running max over strictly
+    lower prices; p survives iff m1 < p.size (nothing cheaper is as
+    large — sound because every pruned dominator is itself dominated
+    by a surviving candidate at an even lower price) AND
+    m2 <= p.size (nothing equally cheap is larger). The distinct-price
+    window runs on the pruned candidate set — skyline-sized, not
+    table-sized — so the unpartitioned ORDER BY is safe by
+    construction.
+    """
+    cand = skyline_candidates(spark, sf_dir).drop("b", "prev_max")
+
+    per_price = cand.groupBy("p_retailprice").agg(F.max("p_size").alias("m2"))
+    wp = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = per_price.select("p_retailprice", "m2", F.max("m2").over(wp).alias("m1"))
+    return (
+        cand.join(F.broadcast(bounds), "p_retailprice")
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("p_size")))
+            & (F.col("m2") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+def skyline_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-1 survivors only (exposed for the prune-ratio test)."""
+    part = load_table(spark, sf_dir, "part")
+    rows = part.select("p_partkey", "p_retailprice", "p_size")
+    bucket = F.floor(F.col("p_retailprice") / SKY_GRID_W).cast("long")
+    per_bucket = (
+        rows.select(bucket.alias("b"), "p_size").groupBy("b").agg(F.max("p_size").alias("bmax"))
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bound = per_bucket.select("b", F.max("bmax").over(wb).alias("prev_max"))
+    return (
+        rows.withColumn("b", bucket)
+        .join(F.broadcast(bound), "b")
+        .filter(F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+    )

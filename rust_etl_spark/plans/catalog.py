@@ -93,9 +93,13 @@ GRADE_ORDER: tuple[str, ...] = (
     # window_running; running totals remain covered by window_range_frame
     # in-window and window_running past-window)
     "events_funnel",
-    # core relational algebra
+    # core relational algebra (window_rank moved past-window round 5:
+    # ranking stays represented in-window by window_range_frame and
+    # sort_topk; the freed slot grades zorder_order — the physical-
+    # layout lever (multi-dim clustering for parquet stats pruning)
+    # that a 100 TB deployment tunes before any single query)
     "scan_project", "filter_predicate", "groupby_agg",
-    "join_star", "sort_topk", "window_rank",
+    "join_star", "sort_topk", "zorder_order",
     # TPC-H query shapes (q1 joined late round 4, displacing
     # agg_filter_sum — the FILTER-clause variant stays past-window;
     # q1 is the canonical wide-aggregate anchor)

@@ -92,3 +92,15 @@ def test_bloom_probe_plan_has_no_join_or_shuffle_before_agg(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, (
         "bloom probe must not shuffle the fact table"
     )
+
+
+def test_skyline_grid_prune_is_effective(spark, sf_dir):
+    """Phase-1 grid prune must discard the bulk of the table before the
+    distinct-price window runs — that is the claim that makes the
+    unpartitioned phase-2 window safe at scale."""
+    from rust_etl_spark.plans.advanced_agg import skyline_candidates
+    from rust_etl_spark.sources import load_table
+
+    n_cand = skyline_candidates(spark, sf_dir).count()
+    n_total = load_table(spark, sf_dir, "part").count()
+    assert n_cand <= n_total / 4, f"prune kept {n_cand}/{n_total}"
