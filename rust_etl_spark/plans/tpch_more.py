@@ -70,16 +70,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The textbook plan re-runs a correlated ``MIN(ps_supplycost)``
     subquery per outer row; here it is one aggregate over the
-    (already filtered) eligible set joined back on the min — lineitem
-    shuffles once on (partkey, suppkey), everything downstream is
-    part-grain. Dims broadcast; unit cost is IEEE division of two
-    scanned doubles, bit-identical across engines, so the equality
-    join against the per-part min is portable.
+    (already filtered) eligible set joined back on the min. BOTH
+    dimension filters (size-15 STANDARD parts, EUROPE suppliers)
+    broadcast-join lineitem BEFORE the aggregate — Catalyst cannot
+    reorder a filter past an aggregate it follows, so doing it by
+    hand shrinks the only real shuffle (the (part, supplier) group)
+    to the eligible slice of the fact table. Unit cost is IEEE
+    division of two scanned doubles, bit-identical across engines,
+    so the equality join against the per-part min is portable.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc")
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min("uc").alias("unit_cost"))
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_name")
@@ -95,9 +97,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eligible = (
-        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
-        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost")
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("uc").alias("unit_cost"))
+        .drop("s_suppkey")
     )
     best = eligible.groupBy("p_partkey").agg(F.min("unit_cost").alias("best_cost"))
     return (
