@@ -1097,3 +1097,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.filter(cont >= CONTAINMENT_TAU)
         .select("doc_a", "doc_b", round_half_up(cont, 4).alias("containment"))
     )
+
+
+# ---------------------------------------------- near-dup graph shape
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+        WITH base AS ({_MINHASH_ORACLE}),
+        deg AS (
+            SELECT id, count(*) AS d FROM (
+                SELECT doc_a AS id FROM base
+                UNION ALL SELECT doc_b AS id FROM base
+            ) GROUP BY id
+        ),
+        tri AS (
+            SELECT count(*) AS t
+            FROM base e1
+            JOIN base e2 ON e2.doc_a = e1.doc_b
+            JOIN base e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_edges,
+               (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+               CAST(t AS BIGINT) AS n_triangles
+        FROM tri
+    """,
+    doc="Triangle census of the MinHash near-dup candidate graph: "
+    "edges / wedges / triangles. A high triangle-to-wedge ratio means "
+    "candidate pairs close into genuine duplicate cliques (transitive "
+    "duplication); a wedge-heavy graph signals hub-shaped false "
+    "positives (boilerplate buckets) before clustering is run.",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting over the candidate-pair graph.
+
+    The scale-canonical algorithm: materialize the edge list once
+    (local checkpoint, same as the connected-components rounds above —
+    every graph engine materializes edges before counting),
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher one, join oriented edges on their source to enumerate each
+    wedge exactly once, and close wedges with a semi-join back into
+    the oriented edges. Orientation bounds the per-vertex fan-out of
+    the wedge join by sqrt(edges) even on hub-dominated graphs — the
+    reason this formulation (Cohen's map-reduce triangle algorithm)
+    survives skew at 100 TB where a naive id-ordered triple join dies
+    on the hottest vertex. The id-ordered DuckDB oracle counts the
+    same invariant set. Wedge totals come off the degree table
+    (integer arithmetic only).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs_df(docs).localCheckpoint(eager=True)
+    u = edges.select(F.col("doc_a").alias("id"))
+    v = edges.select(F.col("doc_b").alias("id"))
+    deg = u.unionAll(v).groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+
+    e = (
+        edges.join(deg.withColumnRenamed("id", "doc_a").withColumnRenamed("d", "da"), "doc_a")
+        .join(deg.withColumnRenamed("id", "doc_b").withColumnRenamed("d", "db"), "doc_b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(a_first, F.struct("db", "doc_b")).otherwise(F.struct(F.col("da").alias("db"), F.col("doc_a").alias("doc_b"))).alias("dst_ord"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("c1"), F.col("dst_ord").alias("o1"))
+    w2 = oriented.select("src", F.col("dst").alias("c2"), F.col("dst_ord").alias("o2"))
+    wedges = w1.join(w2, "src").filter(F.col("o1") < F.col("o2"))
+    closing = oriented.select(F.col("src").alias("c1"), F.col("dst").alias("c2")).unionAll(
+        oriented.select(F.col("dst").alias("c1"), F.col("src").alias("c2"))
+    )
+    tri = wedges.join(closing, ["c1", "c2"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    totals = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges")
+        )
+    )
+    return totals.crossJoin(tri).select("n_edges", "n_wedges", "n_triangles")

@@ -1632,3 +1632,168 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dwell_us") / F.count("dwell_us") / F.lit(1000000.0), 3
         ).alias("avg_s"),
     )
+
+
+# --------------------------------------------- interval merge (islands)
+
+#: Each event opens a 10-minute activity interval; overlapping
+#: intervals merge into islands (classic gaps-and-islands).
+INTERVAL_LEN_US = 10 * 60 * 1_000_000
+
+
+@register(
+    "events_interval_merge",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {INTERVAL_LEN_US} AS e
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, s, e,
+                   CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS new_island,
+                   event_id
+            FROM iv
+        ),
+        islanded AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM marked
+        ),
+        islands AS (
+            SELECT user_id, isl, min(s) AS i_start, max(e) AS i_end
+            FROM islanded GROUP BY user_id, isl
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+               CAST(max(i_end - i_start) AS BIGINT) AS longest_us
+        FROM islands GROUP BY user_id
+    """,
+    doc="Gaps-and-islands interval merge: each event opens a 10-min "
+    "activity interval; overlapping intervals per user merge into "
+    "islands. Per-user island count, merged coverage, longest island — "
+    "the union-of-intervals primitive behind uptime/activity billing.",
+)
+def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping intervals (gaps-and-islands).
+
+    One shuffle on user_id: both windows (prev running max end, island
+    prefix sum) and the island aggregate share the same partitioning;
+    everything is integer micros. Differs from events_sessionize in
+    that membership is interval OVERLAP (an event extends the island
+    only while intervals touch), not inter-event gap — the primitive
+    behind uptime, on-call coverage, and ad-exposure unions. At 100 TB
+    per-user state is one running max; skew = one hot user's events in
+    one task, same envelope as sessionization (salting applies if a
+    single user exceeds a task).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("s")
+    )
+    iv = ev.withColumn("e", F.col("s") + F.lit(INTERVAL_LEN_US))
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)).otherwise(F.lit(0)),
+    )
+    islanded = marked.withColumn(
+        "isl",
+        F.sum("new_island").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = islanded.groupBy("user_id", "isl").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("long").alias("covered_us"),
+        F.max(F.col("i_end") - F.col("i_start")).cast("long").alias("longest_us"),
+    )
+
+
+# ------------------------------------------------ robust MAD anomalies
+
+DAY_US = 24 * 3600 * 1_000_000
+MAD_K = 3.0  #: flag days deviating more than K * MAD from the median
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // {DAY_US} AS day_idx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        med AS (
+            SELECT event_type, median(n) AS med FROM daily GROUP BY event_type
+        ),
+        dev AS (
+            SELECT d.event_type, d.day_idx, d.n, m.med, abs(d.n - m.med) AS adev
+            FROM daily d JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, d.day_idx, d.n, d.med, m.mad,
+               CAST(CASE WHEN m.mad > 0 AND d.adev > {MAD_K} * m.mad
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM dev d JOIN mad m USING (event_type)
+    """,
+    doc=f"Robust daily-volume anomaly detection: days whose event count "
+    f"deviates more than {MAD_K}x the median-absolute-deviation from "
+    "the per-type median. Median/MAD resist the very outliers z-scores "
+    "get dragged by — the robust complement to events_zscore/"
+    "events_spike_detect. Every day ships with its verdict (no "
+    "vacuously-empty result at any scale).",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier flags over daily per-type volumes.
+
+    Two tiny aggregates over the daily rollup (one median, one MAD —
+    each per event_type, a handful of groups) broadcast back onto the
+    day grain. The only corpus-sized pass is the daily rollup itself
+    (map-side combinable count). Exact medians sort day-count-sized
+    groups (~hundreds of rows per type), never raw events; both
+    engines interpolate even-count medians as the mean of the two
+    middle values — IEEE-exact for integer counts, so no rounding is
+    needed anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.expr(f"(ts_ns div 1000) div {DAY_US}").alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(F.median("n").alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day_idx",
+            "n",
+            "med",
+            "mad",
+            F.when(
+                (F.col("mad") > 0) & (F.col("adev") > MAD_K * F.col("mad")), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )
