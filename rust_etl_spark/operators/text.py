@@ -865,3 +865,71 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         round_half_up(F.col("covered") / F.col("total"), 6).alias("coverage"),
     )
+
+
+# ------------------------------------------------- bigram LM scoring
+
+
+@register(
+    "lm_bigram_score",
+    oracle=f"""
+        WITH big AS (
+            SELECT doc_id, arr[i] AS p, arr[i + 1] AS w FROM (
+                SELECT doc_id, arr,
+                       unnest(generate_series(1, len(arr) - 1)) AS i
+                FROM (SELECT doc_id, {{toks}} AS arr FROM documents)
+                WHERE len(arr) >= 2
+            )
+        ),
+        c2 AS (SELECT p, w, count(*) AS n2 FROM big GROUP BY p, w),
+        c1 AS (SELECT p, count(*) AS n1 FROM big GROUP BY p)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-ln(n2 / n1)), {LM_SCORE_DIGITS}) AS neg_logprob
+        FROM big JOIN c2 USING (p, w) JOIN c1 USING (p)
+        GROUP BY doc_id
+    """.replace("{{toks}}", "{toks}").format(toks=tokens_sql("text")),
+    doc="Bigram language-model quality score: per-document mean "
+    "-ln P(w_i | w_{i-1}) under the corpus's own bigram MLE — the "
+    "order-2 refinement of lm_quality_score that additionally flags "
+    "documents whose words are individually common but ordered "
+    "unnaturally (shuffled/templated text). Docs under 2 tokens have "
+    "no bigrams and drop out on both engines.",
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM scoring.
+
+    The bigram stream expands in-row (index explode over the token
+    array — no token self-join); conditional probabilities are two
+    vocabulary-keyed aggregates (bigram counts, preceding-word
+    totals) joined back onto the stream. Both count tables are
+    vocabulary-sized — far smaller than the corpus at 100 TB, with
+    heavy hitters collapsing map-side — and the per-doc mean
+    aggregates on doc_id. Same rounding discipline as
+    lm_quality_score (avg of -ln of exact integer ratios, rounded to
+    LM_SCORE_DIGITS on both engines). No UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("p"),
+        F.element_at("t", F.col("i") + 1).alias("w"),
+    )
+    c2 = big.groupBy("p", "w").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("p").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        big.join(c2, ["p", "w"])
+        .join(c1, ["p"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("n2") / F.col("n1"))), LM_SCORE_DIGITS).alias(
+                "neg_logprob"
+            ),
+        )
+    )

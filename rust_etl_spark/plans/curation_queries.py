@@ -350,3 +350,47 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     )
     return docs.select("doc_id", "lang", split.alias("split"))
+
+
+# ------------------------------------------- weighted priority sample
+
+PRIORITY_K = 100
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+        SELECT doc_id, n_chars,
+               n_chars / (({_H_DOC} + 1) / {_TWO60!r}) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id
+        LIMIT {PRIORITY_K}
+    """,
+    doc=f"Priority sampling (Duffield et al.): top-{PRIORITY_K} docs by "
+    "priority w/u with w = n_chars and u a deterministic md5-derived "
+    "uniform — size-biased sampling with per-item inclusion "
+    "probability ~ w, reproducible across engines/retries because "
+    "nothing is rand(), and portable because w/u is two IEEE "
+    "divisions on identical operands (no transcendentals).",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample via priority keys.
+
+    Each doc draws its uniform from md5(doc_id) (bit-identical on
+    both engines), priority = weight / uniform, and the sample is the
+    top-k by priority — one TakeOrderedAndProject, no shuffle beyond
+    the k-row merge, no global sort. At 100 TB this is THE way to
+    take a size-biased subsample reproducibly: task retries and
+    speculative duplicates recompute identical priorities, and the
+    estimator (Duffield-Lund-Thorup) needs exactly this key shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (md5_long60("doc_id") + F.lit(1)) / F.lit(_TWO60)
+    return (
+        docs.select(
+            "doc_id", "n_chars", (F.col("n_chars") / u).alias("priority")
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(PRIORITY_K)
+    )
