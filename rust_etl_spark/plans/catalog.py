@@ -181,6 +181,7 @@ def _ensure_loaded() -> None:
         layout,
         multimodal,
         packing,
+        pca,
         similarity,
         text,
     )
