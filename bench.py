@@ -68,6 +68,16 @@ EXTENDED = [
     "events_rolling_distinct",
     "doc_chunk",
     "dataset_split",
+    # late round-5 operators (secondary, same comparability reason)
+    "zorder_order",
+    "bloom_prefilter",
+    "skyline_pareto",
+    "events_interval_merge",
+    "events_anomaly_mad",
+    "dedup_graph_triangles",
+    "sample_weighted_priority",
+    "lm_bigram_score",
+    "embedding_pca_project",
 ]
 
 HEADLINE = [

@@ -50,9 +50,15 @@ def _start_aggregate_sink(
     schema: T.StructType | str,
     partial_fn: Callable[[DataFrame], DataFrame],
     group_keys: list[str],
+    merge_fn: Callable[[DataFrame], DataFrame] | None = None,
 ):
-    """Shared exactly-once additive-merge core. ``partial_fn`` turns a
-    micro-batch into (group_keys..., n, total) partials."""
+    """Shared exactly-once merge core. ``partial_fn`` turns a
+    micro-batch into per-group partials; ``merge_fn`` combines the
+    union of stored and batch partials back to one row per group
+    (default: additive (n, total) — count/sum are algebraic). Any
+    aggregate whose partials compose (min/max/min_by/sum...) slots in
+    here; non-algebraic ones (exact median) would need the raw
+    stream."""
     import json
     import os
 
@@ -87,11 +93,13 @@ def _start_aggregate_sink(
         partial = partial_fn(batch_df)
         if os.path.exists(summary_path):
             prev = spark.read.parquet(summary_path)
-            merged = (
-                prev.unionByName(partial)
-                .groupBy(*group_keys)
-                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
-            )
+            both = prev.unionByName(partial)
+            if merge_fn is not None:
+                merged = merge_fn(both)
+            else:
+                merged = both.groupBy(*group_keys).agg(
+                    F.sum("n").alias("n"), F.sum("total").alias("total")
+                )
         else:
             merged = partial
         # collect to driver is NOT used: upsert rewrites via Spark jobs
@@ -173,4 +181,115 @@ def start_incremental_window_aggregate(
         schema,
         partial,
         ["w_start_us", key],
+    )
+
+
+def start_incremental_ohlc(
+    spark: SparkSession,
+    source_dir: str,
+    summary_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    ts_col: str,
+    key: str,
+    value: str,
+    id_col: str,
+    window: str = "5 minutes",
+):
+    """Continuously-maintained OHLC candles: per (tumbling ``window``
+    start, ``key``) keep n / open / high / low / close of ``value``
+    as micro-batches land — the streaming twin of the batch
+    ``events_ohlc`` query, via the same exactly-once merge core.
+
+    OHLC is algebraic: a candle's partial state is
+    (n, high, low, open + its ordering key, close + its ordering key),
+    and two partials merge with sum/max/min/min_by/max_by — so late or
+    replayed data folds into ITS candle deterministically (the
+    ordering key (event-time micros, ``id_col``) is total, mirroring
+    the batch query's tie-break). At scale the summary is
+    candle-grain (keys x windows), orders of magnitude smaller than
+    the stream, and each batch's upsert rewrites only the candles it
+    touches.
+    """
+    ord_us = F.unix_micros(F.col(ts_col))
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        base = batch_df.select(
+            F.window(ts_col, window).alias("w"),
+            F.col(key),
+            F.col(value).cast("double").alias("v"),
+            ord_us.alias("e_us"),
+            F.col(id_col).cast("long").alias("e_id"),
+        ).select(
+            F.unix_micros("w.start").alias("w_start_us"),
+            key,
+            "v",
+            "e_us",
+            "e_id",
+        )
+        ordk = F.struct(F.col("e_us").alias("us"), F.col("e_id").alias("id"))
+        return base.groupBy("w_start_us", key).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.min_by(F.struct("e_us", "e_id", "v"), ordk).alias("o"),
+            F.max_by(F.struct("e_us", "e_id", "v"), ordk).alias("c"),
+        ).select(
+            "w_start_us",
+            key,
+            "n",
+            F.col("o.e_us").alias("open_us"),
+            F.col("o.e_id").alias("open_id"),
+            F.col("o.v").alias("open"),
+            "high",
+            "low",
+            F.col("c.e_us").alias("close_us"),
+            F.col("c.e_id").alias("close_id"),
+            F.col("c.v").alias("close"),
+        )
+
+    def merge(both: DataFrame) -> DataFrame:
+        # Each side of a candle keeps ITS OWN ordering key: the merged
+        # open is the partial open with the earliest (open_us, open_id),
+        # the merged close the partial close with the latest
+        # (close_us, close_id).
+        return (
+            both.groupBy("w_start_us", key)
+            .agg(
+                F.sum("n").alias("n"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.min_by(
+                    F.struct("open_us", "open_id", "open"),
+                    F.struct("open_us", "open_id"),
+                ).alias("o"),
+                F.max_by(
+                    F.struct("close_us", "close_id", "close"),
+                    F.struct("close_us", "close_id"),
+                ).alias("c"),
+            )
+            .select(
+                "w_start_us",
+                key,
+                "n",
+                F.col("o.open_us").alias("open_us"),
+                F.col("o.open_id").alias("open_id"),
+                F.col("o.open").alias("open"),
+                "high",
+                "low",
+                F.col("c.close_us").alias("close_us"),
+                F.col("c.close_id").alias("close_id"),
+                F.col("c.close").alias("close"),
+            )
+        )
+
+    return _start_aggregate_sink(
+        spark,
+        source_dir,
+        summary_path,
+        checkpoint_dir,
+        schema,
+        partial,
+        ["w_start_us", key],
+        merge_fn=merge,
     )

@@ -316,3 +316,52 @@ def test_aggregate_sink_fresh_checkpoint_not_suppressed(spark, tmp_path):
         q2.stop()
     got = {r["k"]: (r["n"], r["total"]) for r in spark.read.parquet(summary).collect()}
     assert got == {"x": (2, 4.0), "z": (1, 5.0)}  # new batch applied, not skipped
+
+
+def test_incremental_ohlc_matches_batch_recompute(spark, tmp_path):
+    """The maintained OHLC candles after several drops — including a
+    LATE batch landing into an old window — must equal a from-scratch
+    OHLC over everything that landed (open/close chosen by the total
+    (event-time, id) order, not arrival order)."""
+    from rust_etl_spark.streaming.aggregate_sink import start_incremental_ohlc
+
+    src = str(tmp_path / "landing")
+    summary = str(tmp_path / "candles")
+    ckpt = str(tmp_path / "ckpt_ohlc")
+    os.makedirs(src)
+    schema = "eid long, ts timestamp, k string, v double"
+
+    def ev(eid, sec, k, v):
+        return {"eid": eid, "ts": f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}", "k": k, "v": v}
+
+    # window = 5 min: events at 0-299s land in w0, 300-599s in w1
+    batch1 = [ev(1, 10, "a", 5.0), ev(2, 200, "a", 9.0), ev(3, 350, "a", 2.0)]
+    batch2 = [ev(4, 400, "a", 7.0), ev(5, 20, "b", 1.0)]
+    late = [ev(6, 5, "a", 4.0)]  # earlier than eid=1: must become w0's open
+
+    def run(files):
+        q = start_incremental_ohlc(
+            spark, src, summary, ckpt, schema, "ts", "k", "v", "eid", window="5 minutes"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _drop_file(src, "b1.jsonl", batch1)
+    run("b1")
+    _drop_file(src, "b2.jsonl", batch2)
+    _drop_file(src, "b3_late.jsonl", late)
+    run("b2+late")
+
+    got = {
+        (r["k"], r["w_start_us"]): (r["n"], r["open"], r["high"], r["low"], r["close"])
+        for r in spark.read.parquet(summary).collect()
+    }
+    w0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    w1 = w0 + 300_000_000
+    assert got == {
+        ("a", w0): (3, 4.0, 9.0, 4.0, 9.0),  # late eid=6 (t=5s) is the open
+        ("a", w1): (2, 2.0, 7.0, 2.0, 7.0),
+        ("b", w0): (1, 1.0, 1.0, 1.0, 1.0),
+    }
