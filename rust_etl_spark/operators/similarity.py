@@ -599,3 +599,115 @@ def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_vectors"),
         F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
     )
+
+
+# ---------------------------------------------- product quantization
+
+PQ_M = 8  #: subvectors per embedding (64 dims -> 8 x 8)
+PQ_SUBDIM = N_DIMS // PQ_M
+PQ_K = 16  #: codes per subspace; vec_id < PQ_K are the anchor codebook
+
+
+def _pq_sq_terms(elem, anchor, m: int) -> str:
+    """Left-associated sum of squared diffs for subspace ``m``.
+
+    ``elem``/``anchor`` map a 1-based element index to an expression
+    string. Generated with IDENTICAL association order for the Spark
+    and DuckDB dialects (only the accessors differ), so both engines
+    execute the same IEEE operation sequence.
+    """
+    terms = []
+    for i in range(PQ_SUBDIM):
+        idx = m * PQ_SUBDIM + i + 1  # 1-based on both engines
+        e, a = elem(idx), anchor(idx)
+        terms.append(f"(({e}) - ({a})) * (({e}) - ({a}))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    elem = lambda idx: f"CAST(e.embedding[{idx}] AS DOUBLE)"  # noqa: E731
+    anch = lambda idx: f"CAST(an.a[{idx}] AS DOUBLE)"  # noqa: E731
+    d_cols = ", ".join(
+        f"{_pq_sq_terms(elem, anch, m)} AS d{m}" for m in range(PQ_M)
+    )
+    min_cols = ", ".join(f"min(d{m}) AS m{m}" for m in range(PQ_M))
+    code_cols = ", ".join(
+        f"CAST(min(CASE WHEN d.d{m} = m.m{m} THEN d.k END) AS BIGINT) AS c{m}"
+        for m in range(PQ_M)
+    )
+    err = " + ".join(f"m.m{m}" for m in range(PQ_M))
+    return f"""
+        WITH anchors AS (
+            SELECT vec_id AS k, embedding AS a FROM embeddings WHERE vec_id < {PQ_K}
+        ),
+        d AS (
+            SELECT e.vec_id, an.k, {d_cols}
+            FROM embeddings e CROSS JOIN anchors an
+        ),
+        mins AS (SELECT vec_id, {min_cols} FROM d GROUP BY vec_id),
+        codes AS (
+            SELECT d.vec_id, {code_cols}
+            FROM d JOIN mins m USING (vec_id) GROUP BY d.vec_id
+        )
+        SELECT c.*, {round_half_up_sql(err, 6)} AS recon_err
+        FROM codes c JOIN mins m USING (vec_id)
+    """
+
+
+@register(
+    "embedding_pq_encode",
+    oracle=_pq_oracle(),
+    doc=f"Product quantization: each embedding compresses to {PQ_M} "
+    f"subspace codes (argmin-L2 against a {PQ_K}-entry per-subspace "
+    "anchor codebook, ties to the lower code) plus its reconstruction "
+    f"error — 64 floats become {PQ_M} small ints, the compression "
+    "behind IVF-PQ indexes that fit billion-vector corpora in memory.",
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding via an in-row literal codebook — zero shuffle.
+
+    The codebook (PQ_K anchor vectors, deterministic: vec_id < PQ_K)
+    collects to the driver once — K x dims doubles, 8 KiB, bounded
+    like the Lloyd/IVF codebooks above — and embeds in the plan as
+    literals, so encoding is a pure map: per row, per subspace, a
+    16-way argmin of 8-term squared distances, all inside whole-stage
+    codegen. No join, no shuffle, no UDF; at 100 TB every task
+    encodes its partition against the broadcast-constant codebook.
+    The DuckDB oracle evaluates the same left-associated IEEE
+    expression chain via a cross join against the anchor rows, with
+    the same ties-to-lower-code argmin (array_position finds the
+    FIRST minimum, i.e. the lowest code, matching the oracle's
+    min(k) over the equal-minimum rows).
+    """
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    assert len(anchors) == PQ_K, "anchor codebook incomplete"
+
+    elem = lambda idx: f"CAST(element_at(embedding, {idx}) AS DOUBLE)"  # noqa: E731
+    cols = [F.col("vec_id")]
+    err_parts = []
+    for m in range(PQ_M):
+        dists = []
+        for k in range(PQ_K):
+            vals = anchors[k]["embedding"]
+            anch = lambda idx, _v=vals: repr(float(_v[idx - 1]))  # noqa: E731
+            dists.append(_pq_sq_terms(elem, anch, m))
+        d_arr = "array(" + ", ".join(dists) + ")"
+        cols.append(
+            F.expr(
+                f"CAST(array_position({d_arr}, array_min({d_arr})) - 1 AS BIGINT)"
+            ).alias(f"c{m}")
+        )
+        err_parts.append(f"array_min({d_arr})")
+    err = " + ".join(err_parts)
+    cols.append(round_half_up(F.expr(err), 6).alias("recon_err"))
+    return emb.select(*cols)
