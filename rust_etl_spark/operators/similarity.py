@@ -12,11 +12,17 @@ Three tiers, all oracle-verifiable:
 - ``ivf_assign`` / ``similarity_ann_ivf`` — IVF coarse quantization:
   assign every vector to its nearest (deterministically chosen)
   centroid via argmin L2; probe only the query's cell.
+- ``embedding_pq_encode`` / ``similarity_ann_pq`` — product
+  quantization: 64 floats -> 8 subspace codes against a deterministic
+  anchor codebook; search scores candidates by asymmetric distance
+  (8 lookups into a precomputed query grid) without touching raw
+  vectors — the IVF-PQ memory/compute story at billion-vector scale.
 
 Determinism notes: plane weights derive from md5 of (plane, dim) so
 Spark and DuckDB build bit-identical planes; all dot products fold in
 double and round to 6 digits before any sign test, threshold, or
-ordering; ties in top-k break on vec_id.
+ordering; ties in top-k break on vec_id; PQ distance expressions are
+generated with one left-associated term order for both engines.
 """
 
 from __future__ import annotations
@@ -656,6 +662,43 @@ def _pq_oracle() -> str:
     """
 
 
+def _pq_anchors(emb: DataFrame) -> list:
+    """Collect the deterministic anchor codebook (bounded: K x dims)."""
+    anchors = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    assert len(anchors) == PQ_K, "anchor codebook incomplete"
+    return anchors
+
+
+def _pq_code_exprs(anchors: list) -> tuple[list, list]:
+    """(code column exprs c0..c{M-1}, per-subspace min-dist expr strings).
+
+    Spark-dialect twin of the oracle's codes CTE: per subspace a
+    16-way argmin over literal-codebook distances, ties to the lower
+    code via array_position's first-match semantics.
+    """
+    elem = lambda idx: f"CAST(element_at(embedding, {idx}) AS DOUBLE)"  # noqa: E731
+    code_cols, min_exprs = [], []
+    for m in range(PQ_M):
+        dists = []
+        for k in range(PQ_K):
+            vals = anchors[k]["embedding"]
+            anch = lambda idx, _v=vals: repr(float(_v[idx - 1]))  # noqa: E731
+            dists.append(_pq_sq_terms(elem, anch, m))
+        d_arr = "array(" + ", ".join(dists) + ")"
+        code_cols.append(
+            F.expr(
+                f"CAST(array_position({d_arr}, array_min({d_arr})) - 1 AS BIGINT)"
+            ).alias(f"c{m}")
+        )
+        min_exprs.append(f"array_min({d_arr})")
+    return code_cols, min_exprs
+
+
 @register(
     "embedding_pq_encode",
     oracle=_pq_oracle(),
@@ -684,30 +727,108 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_etl_spark.functions.rounding import round_half_up
 
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
+    code_cols, min_exprs = _pq_code_exprs(_pq_anchors(emb))
+    err = " + ".join(min_exprs)
+    return emb.select(
+        F.col("vec_id"),
+        *code_cols,
+        round_half_up(F.expr(err), 6).alias("recon_err"),
     )
-    assert len(anchors) == PQ_K, "anchor codebook incomplete"
 
-    elem = lambda idx: f"CAST(element_at(embedding, {idx}) AS DOUBLE)"  # noqa: E731
-    cols = [F.col("vec_id")]
-    err_parts = []
-    for m in range(PQ_M):
-        dists = []
-        for k in range(PQ_K):
-            vals = anchors[k]["embedding"]
-            anch = lambda idx, _v=vals: repr(float(_v[idx - 1]))  # noqa: E731
-            dists.append(_pq_sq_terms(elem, anch, m))
-        d_arr = "array(" + ", ".join(dists) + ")"
-        cols.append(
-            F.expr(
-                f"CAST(array_position({d_arr}, array_min({d_arr})) - 1 AS BIGINT)"
-            ).alias(f"c{m}")
+
+def _pq_ann_oracle() -> str:
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    elem = lambda idx: f"CAST(e.embedding[{idx}] AS DOUBLE)"  # noqa: E731
+    anch = lambda idx: f"CAST(an.a[{idx}] AS DOUBLE)"  # noqa: E731
+    qelem = lambda idx: f"CAST(q.qe[{idx}] AS DOUBLE)"  # noqa: E731
+    d_cols = ", ".join(f"{_pq_sq_terms(elem, anch, m)} AS d{m}" for m in range(PQ_M))
+    min_cols = ", ".join(f"min(d{m}) AS m{m}" for m in range(PQ_M))
+    code_cols = ", ".join(
+        f"CAST(min(CASE WHEN d.d{m} = m.m{m} THEN d.k END) AS BIGINT) AS c{m}"
+        for m in range(PQ_M)
+    )
+    adc_cols = ", ".join(
+        f"{_pq_sq_terms(qelem, anch, m)} AS d{m}" for m in range(PQ_M)
+    )
+    dist = " + ".join(f"a{m}.d{m}" for m in range(PQ_M))
+    joins = " ".join(f"JOIN adc a{m} ON a{m}.k = c.c{m}" for m in range(PQ_M))
+    return f"""
+        WITH anchors AS (
+            SELECT vec_id AS k, embedding AS a FROM embeddings WHERE vec_id < {PQ_K}
+        ),
+        d AS (
+            SELECT e.vec_id, an.k, {d_cols}
+            FROM embeddings e CROSS JOIN anchors an
+        ),
+        mins AS (SELECT vec_id, {min_cols} FROM d GROUP BY vec_id),
+        codes AS (
+            SELECT d.vec_id, {code_cols}
+            FROM d JOIN mins m USING (vec_id) GROUP BY d.vec_id
+        ),
+        adc AS (
+            SELECT an.k, {adc_cols}
+            FROM anchors an
+            CROSS JOIN (SELECT embedding AS qe FROM embeddings
+                        WHERE vec_id = {QUERY_VEC_ID}) q
         )
-        err_parts.append(f"array_min({d_arr})")
-    err = " + ".join(err_parts)
-    cols.append(round_half_up(F.expr(err), 6).alias("recon_err"))
-    return emb.select(*cols)
+        SELECT c.vec_id, {round_half_up_sql(dist, 6)} AS adc_dist
+        FROM codes c {joins}
+        WHERE c.vec_id <> {QUERY_VEC_ID}
+        ORDER BY adc_dist, c.vec_id
+        LIMIT {TOPK}
+    """
+
+
+@register(
+    "similarity_ann_pq",
+    oracle=_pq_ann_oracle(),
+    doc=f"ANN top-{TOPK} by PQ asymmetric distance (ADC): the query "
+    "stays full-precision, every candidate is its 8 PQ codes, and the "
+    "distance is 8 table lookups into a precomputed query-to-codebook "
+    "grid — the scoring loop of an IVF-PQ index, where a billion "
+    "candidates cost 8 adds each and the raw vectors never load.",
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k — zero shuffle before the k-merge.
+
+    The per-subspace query-to-anchor distance grid (M x K = 128
+    doubles) precomputes on the driver with the SAME left-associated
+    IEEE term order as the SQL oracle (Python floats are IEEE doubles,
+    so the grids are bit-identical), and embeds as literal arrays;
+    each row's distance is then 8 element_at lookups + 7 adds inside
+    codegen, followed by one TakeOrderedAndProject. This is why PQ
+    wins at 100 TB: scan cost per candidate is independent of
+    dimensionality, and the index (codes) is 8 bytes/vector.
+    """
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = _pq_anchors(emb)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0][
+        "embedding"
+    ]
+
+    def sub_dist(m: int, avals) -> float:
+        acc = None
+        for i in range(PQ_SUBDIM):
+            idx = m * PQ_SUBDIM + i
+            t = (float(q[idx]) - float(avals[idx])) * (float(q[idx]) - float(avals[idx]))
+            acc = t if acc is None else acc + t
+        return acc
+
+    code_cols, _ = _pq_code_exprs(anchors)
+    coded = emb.select("vec_id", *code_cols)
+    parts = []
+    for m in range(PQ_M):
+        grid = "array(" + ", ".join(
+            repr(sub_dist(m, anchors[k]["embedding"])) for k in range(PQ_K)
+        ) + ")"
+        parts.append(f"element_at({grid}, CAST(c{m} + 1 AS INT))")
+    dist = " + ".join(parts)
+    return (
+        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", round_half_up(F.expr(dist), 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(TOPK)
+    )
