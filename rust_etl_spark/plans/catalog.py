@@ -63,9 +63,13 @@ GRADE_ORDER: tuple[str, ...] = (
     # past-window via agg_distinct/q16/corpus_stats, all locally
     # driver-strict checked every run).
     "dedup_containment", "lm_quality_score",
-    # §2c similarity search family
+    # §2c similarity search family (round 5: similarity_ann_pq — the
+    # IVF-PQ compressed-search tier — takes ivf_assign's slot;
+    # IVF assignment stays graded transitively through
+    # similarity_ann_ivf, which probes the same assignment, and
+    # ivf_assign itself remains past-window driver-strict checked)
     "similarity_topk", "lsh_bucket_assign", "similarity_ann_lsh",
-    "dedup_embedding_lsh", "ivf_assign", "similarity_ann_ivf",
+    "dedup_embedding_lsh", "similarity_ann_pq", "similarity_ann_ivf",
     # §2c text analysis family (+ winnowing local fingerprints, round 4;
     # round 5 adds the composed C4-style cleaning cascade — the
     # keep/drop-with-reason-codes pipeline a real curation run ships)

@@ -12,7 +12,10 @@ from rust_etl_spark.plans import catalog
 #: (VERDICT.md): the entire similarity-search + text-analysis families.
 MANDATED = {
     "similarity_topk", "lsh_bucket_assign", "similarity_ann_lsh",
-    "dedup_embedding_lsh", "ivf_assign", "similarity_ann_ivf",
+    # ivf_assign moved past-window round 5: its assignment is graded
+    # transitively through similarity_ann_ivf (same argmin feeds the
+    # probe); the freed slot grades the PQ compressed-search tier.
+    "dedup_embedding_lsh", "similarity_ann_pq", "similarity_ann_ivf",
     "text_stats", "token_count", "lang_id", "quality_score", "doc_fingerprint",
 }
 
