@@ -674,29 +674,50 @@ def _pq_anchors(emb: DataFrame) -> list:
     return anchors
 
 
-def _pq_code_exprs(anchors: list) -> tuple[list, list]:
-    """(code column exprs c0..c{M-1}, per-subspace min-dist expr strings).
+def _pq_dist_cols(anchors: list) -> list:
+    """Columns d0..d{M-1}: per subspace, the 16 literal-codebook
+    distances as one array (Spark twin of the oracle's d CTE).
 
-    Spark-dialect twin of the oracle's codes CTE: per subspace a
-    16-way argmin over literal-codebook distances, ties to the lower
-    code via array_position's first-match semantics.
+    Folds, not unrolled scalar chains: per subspace one ``transform``
+    over the literal 16 x SUBDIM anchor matrix, each entry an
+    ``aggregate(zip_with(...))`` squared-distance fold over the
+    embedding slice. An unrolled 2048-term chain blew the 64 KB JVM
+    method limit (interpreted fallback — the same driver/codegen
+    blowup the LSH fold comment above documents); the fold keeps
+    codegen loop-shaped. IEEE parity with the oracle's left-associated
+    ``t1 + t2 + ...`` chain holds because zip_with/aggregate iterate
+    ascending and the leading ``0.0 + t1`` is exact (squares are
+    non-negative). Staged as NAMED columns because the argmin
+    references each array three times (position, min, err).
     """
-    elem = lambda idx: f"CAST(element_at(embedding, {idx}) AS DOUBLE)"  # noqa: E731
-    code_cols, min_exprs = [], []
+    cols = []
     for m in range(PQ_M):
-        dists = []
-        for k in range(PQ_K):
-            vals = anchors[k]["embedding"]
-            anch = lambda idx, _v=vals: repr(float(_v[idx - 1]))  # noqa: E731
-            dists.append(_pq_sq_terms(elem, anch, m))
-        d_arr = "array(" + ", ".join(dists) + ")"
-        code_cols.append(
+        anch_m = "array(" + ", ".join(
+            "array("
+            + ", ".join(
+                repr(float(anchors[k]["embedding"][m * PQ_SUBDIM + i]))
+                for i in range(PQ_SUBDIM)
+            )
+            + ")"
+            for k in range(PQ_K)
+        ) + ")"
+        sub = f"CAST(slice(embedding, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM}) AS ARRAY<DOUBLE>)"
+        cols.append(
             F.expr(
-                f"CAST(array_position({d_arr}, array_min({d_arr})) - 1 AS BIGINT)"
-            ).alias(f"c{m}")
+                f"transform({anch_m}, a -> aggregate(zip_with({sub}, a, "
+                "(x, aa) -> (x - aa) * (x - aa)), CAST(0.0 AS DOUBLE), "
+                "(acc, t) -> acc + t))"
+            ).alias(f"d{m}")
         )
-        min_exprs.append(f"array_min({d_arr})")
-    return code_cols, min_exprs
+    return cols
+
+
+def _pq_code_col(m: int):
+    """argmin code for subspace m over the staged distance array d{m};
+    ties to the lower code via array_position's first-match."""
+    return F.expr(
+        f"CAST(array_position(d{m}, array_min(d{m})) - 1 AS BIGINT)"
+    ).alias(f"c{m}")
 
 
 @register(
@@ -727,11 +748,11 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_etl_spark.functions.rounding import round_half_up
 
     emb = load_table(spark, sf_dir, "embeddings")
-    code_cols, min_exprs = _pq_code_exprs(_pq_anchors(emb))
-    err = " + ".join(min_exprs)
-    return emb.select(
-        F.col("vec_id"),
-        *code_cols,
+    staged = emb.select("vec_id", *_pq_dist_cols(_pq_anchors(emb)))
+    err = " + ".join(f"array_min(d{m})" for m in range(PQ_M))
+    return staged.select(
+        "vec_id",
+        *[_pq_code_col(m) for m in range(PQ_M)],
         round_half_up(F.expr(err), 6).alias("recon_err"),
     )
 
@@ -817,8 +838,8 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = t if acc is None else acc + t
         return acc
 
-    code_cols, _ = _pq_code_exprs(anchors)
-    coded = emb.select("vec_id", *code_cols)
+    staged = emb.select("vec_id", *_pq_dist_cols(anchors))
+    coded = staged.select("vec_id", *[_pq_code_col(m) for m in range(PQ_M)])
     parts = []
     for m in range(PQ_M):
         grid = "array(" + ", ".join(
