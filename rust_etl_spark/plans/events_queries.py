@@ -1797,3 +1797,101 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ------------------------------------------- seasonal decomposition
+
+SEASONAL_HALF = 3  #: centered 7-day trend window
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // {DAY_US} AS day_idx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        trended AS (
+            SELECT event_type, day_idx, n,
+                   sum(n) OVER w AS sum7,
+                   count(*) OVER w AS cnt7
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                         ROWS BETWEEN {SEASONAL_HALF} PRECEDING
+                                  AND {SEASONAL_HALF} FOLLOWING)
+        ),
+        full_w AS (
+            SELECT event_type, day_idx, n, sum7,
+                   7 * n - sum7 AS dev7,
+                   day_idx % 7 AS dow
+            FROM trended WHERE cnt7 = {2 * SEASONAL_HALF + 1}
+        ),
+        seas AS (
+            SELECT event_type, dow, avg(dev7) AS seasonal7
+            FROM full_w GROUP BY event_type, dow
+        )
+        SELECT f.event_type, f.day_idx, f.n,
+               f.sum7 / 7.0 AS trend,
+               s.seasonal7 / 7.0 AS seasonal,
+               (CAST(f.n AS DOUBLE) - f.sum7 / 7.0) - s.seasonal7 / 7.0 AS residual
+        FROM full_w f JOIN seas s USING (event_type, dow)
+    """,
+    doc="Classical seasonal decomposition of daily per-type volumes: "
+    "trend = centered 7-day moving average (full windows only), "
+    "seasonal = day-of-week mean of the detrended series, residual = "
+    "the rest. All intermediate sums are integers (7n - sum7), so "
+    "trend/seasonal/residual are exact IEEE divisions/subtractions — "
+    "bit-identical across engines with NO rounding anywhere.",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend / day-of-week seasonality / residual split.
+
+    One corpus-sized pass (the daily rollup, map-side combinable);
+    the trend window and the seasonal aggregate both run on the daily
+    grain — #types x #days rows — partitioned by event_type, so no
+    unpartitioned window and per-partition state is one 7-row frame.
+    Exactness trick: the detrended series is kept in x7 integer space
+    (dev7 = 7n - sum7, a BIGINT), so every float that reaches the
+    output is produced by one division or subtraction of exact
+    inputs in a fixed written order — cross-engine bit parity without
+    a single round() call.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(f"(ts_ns div 1000) div {DAY_US}").alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-SEASONAL_HALF, SEASONAL_HALF)
+    )
+    trended = daily.select(
+        "event_type",
+        "day_idx",
+        "n",
+        F.sum("n").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("cnt7"),
+    )
+    full_w = trended.filter(F.col("cnt7") == 2 * SEASONAL_HALF + 1).select(
+        "event_type",
+        "day_idx",
+        "n",
+        "sum7",
+        (F.lit(7) * F.col("n") - F.col("sum7")).alias("dev7"),
+        (F.col("day_idx") % 7).alias("dow"),
+    )
+    seas = full_w.groupBy("event_type", "dow").agg(F.avg("dev7").alias("seasonal7"))
+    trend = F.col("sum7") / F.lit(7.0)
+    seasonal = F.col("seasonal7") / F.lit(7.0)
+    return (
+        full_w.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day_idx",
+            "n",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            ((F.col("n").cast("double") - trend) - seasonal).alias("residual"),
+        )
+    )
