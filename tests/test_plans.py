@@ -180,8 +180,8 @@ def test_q13_distribution_conserves_customers_and_orders(spark):
 
 
 def test_events_ohlc_single_exchange_for_windows_and_agg(spark):
-    """Both OHLC row_numbers and the final aggregate share the
-    (event_type, bucket) partitioning — exactly one fact exchange."""
+    """OHLC is one min_by/max_by aggregate on (event_type, bucket):
+    map-side partials combine, so exactly one fact exchange."""
     plan = _formatted_plan(spark, "events_ohlc")
     assert plan.count("Exchange hashpartitioning") <= 1
 
@@ -243,3 +243,45 @@ def test_corpus_clean_pipeline_is_one_map_side_pass(spark):
     any Exchange means a signal regressed to a shuffle."""
     plan = _formatted_plan(spark, "corpus_clean_pipeline")
     assert "Exchange" not in plan
+
+
+def test_pq_encode_has_no_shuffle(spark):
+    """PQ encoding is a pure map against the literal codebook: no
+    Exchange anywhere — at scale every task encodes its partition
+    without data movement."""
+    plan = _formatted_plan(spark, "embedding_pq_encode")
+    assert "Exchange" not in plan
+
+
+def test_pq_ann_only_exchange_is_topk_merge(spark):
+    """ADC scoring must stay in-row: the only movement in the plan is
+    the TakeOrderedAndProject k-row merge (plus its driver collect),
+    never a hash or range exchange of the candidates."""
+    plan = _formatted_plan(spark, "similarity_ann_pq")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_zorder_topk_avoids_global_sort(spark):
+    plan = _formatted_plan(spark, "zorder_order")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_skyline_broadcasts_both_bound_tables(spark):
+    """Phase-1 and phase-2 bound tables are tiny (bucket- and
+    candidate-price-grain) and must broadcast; the part table itself
+    must never hash-shuffle."""
+    plan = _formatted_plan(spark, "skyline_pareto")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_decompose_windows_are_partitioned(spark):
+    """The trend window must be partitioned by event_type (daily
+    grain) — no unpartitioned window may appear."""
+    plan = _formatted_plan(spark, "events_seasonal_decompose")
+    assert "Window" in plan
+    # an unpartitioned window would plan as 'Exchange SinglePartition'
+    assert "Exchange SinglePartition" not in plan
