@@ -612,6 +612,7 @@ def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8  #: subvectors per embedding (64 dims -> 8 x 8)
 PQ_SUBDIM = N_DIMS // PQ_M
 PQ_K = 16  #: codes per subspace; vec_id < PQ_K are the anchor codebook
+PQ_SHORTLIST = 50  #: ADC survivors re-ranked exactly (the IVF-PQ refine stage)
 
 
 def _pq_sq_terms(elem, anchor, m: int) -> str:
@@ -792,11 +793,21 @@ def _pq_ann_oracle() -> str:
             FROM anchors an
             CROSS JOIN (SELECT embedding AS qe FROM embeddings
                         WHERE vec_id = {QUERY_VEC_ID}) q
+        ),
+        short AS (
+            SELECT c.vec_id, {round_half_up_sql(dist, 6)} AS adc_dist
+            FROM codes c {joins}
+            WHERE c.vec_id <> {QUERY_VEC_ID}
+            ORDER BY adc_dist, c.vec_id
+            LIMIT {PQ_SHORTLIST}
         )
-        SELECT c.vec_id, {round_half_up_sql(dist, 6)} AS adc_dist
-        FROM codes c {joins}
-        WHERE c.vec_id <> {QUERY_VEC_ID}
-        ORDER BY adc_dist, c.vec_id
+        SELECT s.vec_id, s.adc_dist,
+               {l2sq_sql('e.embedding', 'q.qe')} AS dist
+        FROM short s
+        JOIN embeddings e USING (vec_id)
+        CROSS JOIN (SELECT embedding AS qe FROM embeddings
+                    WHERE vec_id = {QUERY_VEC_ID}) q
+        ORDER BY dist, s.vec_id
         LIMIT {TOPK}
     """
 
@@ -804,23 +815,29 @@ def _pq_ann_oracle() -> str:
 @register(
     "similarity_ann_pq",
     oracle=_pq_ann_oracle(),
-    doc=f"ANN top-{TOPK} by PQ asymmetric distance (ADC): the query "
-    "stays full-precision, every candidate is its 8 PQ codes, and the "
-    "distance is 8 table lookups into a precomputed query-to-codebook "
-    "grid — the scoring loop of an IVF-PQ index, where a billion "
-    "candidates cost 8 adds each and the raw vectors never load.",
+    doc="ANN top-k by PQ asymmetric distance with exact re-rank: every "
+    "candidate is scored from its 8 PQ codes (8 lookups into a "
+    "precomputed query-to-codebook grid — raw vectors never load), the "
+    "best PQ_SHORTLIST survivors re-rank by exact L2 — the two-stage "
+    "shape every production IVF-PQ index runs, because ADC alone "
+    "quantizes too coarsely for top-k fidelity (measured recall curve "
+    "in CATALOG.md / tests/test_ann_recall.py).",
 )
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance top-k — zero shuffle before the k-merge.
+    """PQ ADC shortlist + exact re-rank — zero shuffle before the
+    k-merges.
 
-    The per-subspace query-to-anchor distance grid (M x K = 128
-    doubles) precomputes on the driver with the SAME left-associated
-    IEEE term order as the SQL oracle (Python floats are IEEE doubles,
-    so the grids are bit-identical), and embeds as literal arrays;
-    each row's distance is then 8 element_at lookups + 7 adds inside
-    codegen, followed by one TakeOrderedAndProject. This is why PQ
-    wins at 100 TB: scan cost per candidate is independent of
-    dimensionality, and the index (codes) is 8 bytes/vector.
+    Stage 1 (cheap, whole corpus): the per-subspace query-to-anchor
+    distance grid (M x K = 128 doubles) precomputes on the driver with
+    the SAME left-associated IEEE term order as the SQL oracle (Python
+    floats are IEEE doubles, so the grids are bit-identical) and
+    embeds as literal arrays; each row's ADC distance is 8 element_at
+    lookups + 7 adds inside codegen, and a TakeOrdered keeps the best
+    PQ_SHORTLIST rows. Stage 2 (exact, shortlist only): those rows —
+    which carried their embeddings through — re-rank by exact L2
+    against the literal query vector. At 100 TB stage 1's scan cost
+    per candidate is independent of dimensionality (the codes are 8
+    bytes/vector) and stage 2 touches PQ_SHORTLIST raw vectors total.
     """
     from rust_etl_spark.functions.rounding import round_half_up
 
@@ -838,18 +855,30 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = t if acc is None else acc + t
         return acc
 
-    staged = emb.select("vec_id", *_pq_dist_cols(anchors))
-    coded = staged.select("vec_id", *[_pq_code_col(m) for m in range(PQ_M)])
+    staged = emb.select("vec_id", "embedding", *_pq_dist_cols(anchors))
+    coded = staged.select(
+        "vec_id", "embedding", *[_pq_code_col(m) for m in range(PQ_M)]
+    )
     parts = []
     for m in range(PQ_M):
         grid = "array(" + ", ".join(
             repr(sub_dist(m, anchors[k]["embedding"])) for k in range(PQ_K)
         ) + ")"
         parts.append(f"element_at({grid}, CAST(c{m} + 1 AS INT))")
-    dist = " + ".join(parts)
-    return (
+    adc = round_half_up(F.expr(" + ".join(parts)), 6)
+    shortlist = (
         coded.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", round_half_up(F.expr(dist), 6).alias("adc_dist"))
+        .select("vec_id", "embedding", adc.alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
+        .limit(PQ_SHORTLIST)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        shortlist.select(
+            "vec_id",
+            "adc_dist",
+            l2sq(to_double_array("embedding"), qlit).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
         .limit(TOPK)
     )
