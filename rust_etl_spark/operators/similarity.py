@@ -42,7 +42,9 @@ TOPK = 10
 QUERY_VEC_ID = 0
 N_PLANES = 8
 N_DIMS = 64
+LSH_PROBE_BITS = 1  #: multi-probe radius: also probe buckets 1 bit-flip away
 IVF_CENTROID_MOD = 100  #: vec_id % MOD == 0 -> centroid (deterministic codebook)
+IVF_NPROBE = 4  #: cells probed by the IVF search (the standard recall knob)
 
 
 # ------------------------------------------------------ brute force
@@ -181,9 +183,15 @@ def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_BUCKETS_SQL},
         qb AS (SELECT bucket FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+        probes AS (
+            SELECT bucket AS b FROM qb
+            UNION ALL
+            SELECT xor(qb.bucket, CAST(1 AS BIGINT) << i) AS b
+            FROM qb CROSS JOIN (SELECT unnest(range(0, {N_PLANES})) AS i) bits
+        ),
         cand AS (
-            SELECT b.vec_id FROM buckets b, qb
-            WHERE b.bucket = qb.bucket AND b.vec_id <> {QUERY_VEC_ID}
+            SELECT DISTINCT b.vec_id FROM buckets b JOIN probes ON b.bucket = probes.b
+            WHERE b.vec_id <> {QUERY_VEC_ID}
         )
         SELECT a.vec_id, {cosine_sql('a.embedding', 'q.embedding')} AS score
         FROM embeddings a
@@ -192,16 +200,38 @@ def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY score DESC, a.vec_id
         LIMIT {TOPK}
     """,
-    doc=f"ANN top-{TOPK}: probe only the query vector's LSH bucket, then exact cosine within it.",
+    doc=f"ANN top-{TOPK} with multi-probe LSH: probe the query's bucket "
+    f"PLUS the {N_PLANES} buckets one hyperplane-flip away (a neighbor "
+    "on the far side of one cutting plane lands exactly there), then "
+    "exact cosine within the probed set — the multi-probe recall knob "
+    "at ~(1+planes)/2^planes of the corpus scanned.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH search: the probe set is the query's bucket and
+    every bucket at Hamming distance 1 (one hyperplane disagreement) —
+    built in-plan from the single query-bucket row, broadcast to the
+    bucket table. Probing 1+N_PLANES of the 2^N_PLANES buckets bounds
+    the scanned fraction while recovering the neighbors that a single
+    cutting plane happened to separate from the query."""
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(spark, emb)
     qb = buckets.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("bucket").alias("qbucket"))
+    probes = qb.select(
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(N_PLANES)
+                ],
+            )
+        ).alias("qbucket")
+    )
     cand = (
-        buckets.crossJoin(F.broadcast(qb))
-        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        buckets.join(F.broadcast(probes), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id")
+        .distinct()
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(to_double_array("embedding").alias("qv"))
     return (
@@ -402,10 +432,13 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_ann_ivf",
     oracle=f"""
         WITH {_ASSIGN_SQL},
-        qcell AS (SELECT cid FROM assign WHERE vec_id = {QUERY_VEC_ID}),
+        qcells AS (
+            SELECT cid FROM dists WHERE vec_id = {QUERY_VEC_ID}
+            ORDER BY dist, cid LIMIT {IVF_NPROBE}
+        ),
         cand AS (
-            SELECT a.vec_id FROM assign a, qcell
-            WHERE a.cid = qcell.cid AND a.vec_id <> {QUERY_VEC_ID}
+            SELECT a.vec_id FROM assign a JOIN qcells USING (cid)
+            WHERE a.vec_id <> {QUERY_VEC_ID}
         )
         SELECT e.vec_id, {cosine_sql('e.embedding', 'q.embedding')} AS score
         FROM embeddings e
@@ -414,14 +447,35 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY score DESC, e.vec_id
         LIMIT {TOPK}
     """,
-    doc=f"ANN top-{TOPK} probing only the query's IVF cell, exact cosine within.",
+    doc=f"ANN top-{TOPK} probing the query's {IVF_NPROBE} nearest IVF cells "
+    "(nprobe — the standard recall knob: one cell misses neighbors that "
+    "fall just across a Voronoi boundary), exact cosine within the probed "
+    "cells.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe-cell IVF search: rank the KB-sized centroid codebook by
+    distance to the query (driver-light: the ranking is a broadcast
+    cross of one row x n_cells), take the IVF_NPROBE nearest cells,
+    and run exact cosine only inside them. At 100 TB the probed
+    fraction is nprobe/n_cells of the corpus; nprobe trades recall
+    against scan cost without touching the index."""
     emb = load_table(spark, sf_dir, "embeddings")
     assign = ivf_assignments(spark, emb)
-    qcell = assign.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("cid").alias("qcid"))
+    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec")
+    )
+    qv0 = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        to_double_array("embedding").alias("qv0")
+    )
+    qcells = (
+        cent.crossJoin(F.broadcast(qv0))
+        .select("cid", l2sq(F.col("cvec"), F.col("qv0")).alias("qdist"))
+        .orderBy("qdist", "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
     cand = (
-        assign.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        assign.join(F.broadcast(qcells), "cid")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id")
     )

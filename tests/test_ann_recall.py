@@ -114,3 +114,65 @@ def test_pq_codes_quantize_consistently(corpus):
     X, C = corpus
     for k in range(PQ_K):
         assert list(C[k]) == [k] * PQ_M
+
+
+@pytest.fixture(scope="module")
+def probe_structures(spark):
+    from rust_etl_spark.operators.similarity import ivf_assignments, lsh_buckets
+    from rust_etl_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    buckets = {r["vec_id"]: r["bucket"] for r in lsh_buckets(spark, emb).collect()}
+    cells = {r["vec_id"]: r["cid"] for r in ivf_assignments(spark, emb).collect()}
+    return buckets, cells
+
+
+def test_lsh_multiprobe_beats_random_scanning(corpus, probe_structures):
+    """Hyperplane LSH on an isotropic corpus is the weakest tier by
+    design (documented in CATALOG.md) — but its probe set must still
+    be informative: recall per scanned fraction >= 2x random."""
+    from rust_etl_spark.operators.similarity import N_PLANES
+
+    X, _ = corpus
+    buckets, _ = probe_structures
+    n = len(X)
+    norms = X / np.linalg.norm(X, axis=1, keepdims=True)
+    recs, fracs = [], []
+    for q in range(N_QUERIES):
+        cos = norms @ norms[q]
+        cos[q] = -np.inf
+        exact = set(np.argsort(-cos, kind="stable")[:K])
+        probe = {buckets[q]} | {buckets[q] ^ (1 << i) for i in range(N_PLANES)}
+        cand = [i for i in range(n) if i != q and buckets[i] in probe]
+        fracs.append(len(cand) / n)
+        top = sorted(cand, key=lambda i: (-cos[i], i))[:K]
+        recs.append(len(exact & set(top)) / K)
+    assert np.mean(recs) >= 2 * np.mean(fracs), (
+        f"recall {np.mean(recs):.3f} vs scanned {np.mean(fracs):.3f}"
+    )
+
+
+def test_ivf_nprobe_recall_floor(corpus, probe_structures):
+    """nprobe=4 must recover most exact neighbors. NOTE: at sf0.001
+    the corpus has only 5 cells (500 vecs / mod 100), so 4 probes scan
+    ~80% — the floor mostly certifies that the per-cell exact rescore
+    and the cell ranking are sound; cell counts grow with the corpus
+    while nprobe stays fixed."""
+    from rust_etl_spark.operators.similarity import IVF_CENTROID_MOD, IVF_NPROBE
+
+    X, _ = corpus
+    _, cells = probe_structures
+    n = len(X)
+    cent_ids = [i for i in range(n) if i % IVF_CENTROID_MOD == 0]
+    norms = X / np.linalg.norm(X, axis=1, keepdims=True)
+    recs = []
+    for q in range(N_QUERIES):
+        cos = norms @ norms[q]
+        cos[q] = -np.inf
+        exact = set(np.argsort(-cos, kind="stable")[:K])
+        d = sorted((float(((X[c] - X[q]) ** 2).sum()), c) for c in cent_ids)
+        near = {c for _, c in d[:IVF_NPROBE]}
+        cand = [i for i in range(n) if i != q and cells[i] in near]
+        top = sorted(cand, key=lambda i: (-cos[i], i))[:K]
+        recs.append(len(exact & set(top)) / K)
+    assert np.mean(recs) >= 0.8, f"ivf nprobe recall {np.mean(recs):.3f}"
