@@ -78,6 +78,9 @@ EXTENDED = [
     "sample_weighted_priority",
     "lm_bigram_score",
     "embedding_pca_project",
+    "embedding_pq_encode",
+    "similarity_ann_pq",
+    "events_seasonal_decompose",
 ]
 
 HEADLINE = [
