@@ -1895,3 +1895,96 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n").cast("double") - trend) - seasonal).alias("residual"),
         )
     )
+
+
+@register(
+    "events_funnel_timing",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM events GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN u USING (user_id)
+            WHERE e.event_type = 'click' AND u.t_view IS NOT NULL AND e.ts > u.t_view
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        ),
+        deltas AS (
+            SELECT 'view_to_click' AS stage,
+                   epoch_us(c.t_click) - epoch_us(u.t_view) AS d_us
+            FROM u JOIN c USING (user_id)
+            UNION ALL
+            SELECT 'click_to_purchase',
+                   epoch_us(p.t_purchase) - epoch_us(c.t_click)
+            FROM c JOIN p USING (user_id)
+        )
+        SELECT stage,
+               CAST(count(*) AS BIGINT) AS n_users,
+               median(d_us) AS med_us,
+               CAST(sum(d_us) AS BIGINT) AS total_us,
+               CAST(min(d_us) AS BIGINT) AS min_us,
+               CAST(max(d_us) AS BIGINT) AS max_us
+        FROM deltas GROUP BY stage
+    """,
+    doc="Funnel time-to-convert: for users who advanced a funnel stage "
+    "(same strict-after semantics as events_funnel), the per-stage-pair "
+    "median / total / min / max of the conversion delay in integer "
+    "micros — the metric that turns survivor counts into 'where do "
+    "users stall'. Medians interpolate two integers (exact on both "
+    "engines); totals stay BIGINT, so no rounding anywhere.",
+)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage conversion-delay stats (integer event-time micros).
+
+    Reuses the funnel cascade (all stages keyed and co-partitioned on
+    user_id); the delta rows are user-grain, and the final aggregate
+    collapses to one row per stage pair — a 2-row result at any scale.
+    Exact medians sort per-stage user-count groups; at 100 TB switch
+    the median to approx_percentile if user-grain deltas outgrow a
+    task, the only non-exact concession this query would ever need.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t_us"))).alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u.filter(F.col("t_view").isNotNull()), "user_id")
+        .filter(F.col("t_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_purchase"))
+    )
+    deltas = (
+        u.join(c, "user_id")
+        .select(
+            F.lit("view_to_click").alias("stage"),
+            (F.col("t_click") - F.col("t_view")).alias("d_us"),
+        )
+        .unionByName(
+            c.join(p, "user_id").select(
+                F.lit("click_to_purchase").alias("stage"),
+                (F.col("t_purchase") - F.col("t_click")).alias("d_us"),
+            )
+        )
+    )
+    return deltas.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.median("d_us").alias("med_us"),
+        F.sum("d_us").cast("long").alias("total_us"),
+        F.min("d_us").cast("long").alias("min_us"),
+        F.max("d_us").cast("long").alias("max_us"),
+    )
