@@ -394,3 +394,67 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(PRIORITY_K)
     )
+
+
+# ------------------------------------- temperature-balanced language mix
+
+MIX_ALPHA_NOTE = "alpha=0.5 (sqrt)"  #: multilingual-LM style upsampling exponent
+MIX_BUDGET = 1000  #: docs allocated per 1000 sampled
+
+
+@register(
+    "dataset_mix_temperature",
+    oracle=f"""
+        WITH per AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   sqrt(count(*)) AS w
+            FROM documents GROUP BY lang
+        ),
+        z AS (
+            SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS z
+            FROM per
+        )
+        SELECT lang, n_docs, w / z.z AS share,
+               (w / z.z) * {MIX_BUDGET}.0 AS alloc_per_{MIX_BUDGET}
+        FROM per CROSS JOIN z
+    """,
+    doc=f"Temperature-balanced language mix ({MIX_ALPHA_NOTE}, the "
+    "multilingual-LM upsampling rule): per-language sampling share "
+    "proportional to sqrt(n_docs), boosting low-resource languages "
+    "without letting the head language dominate. sqrt and division are "
+    "correctly-rounded IEEE ops and the normalizer folds the per-lang "
+    "weights in SORTED language order on both engines, so the shares "
+    "are bit-identical with no rounding.",
+)
+def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 language rebalancing with a deterministic normalizer.
+
+    One grouped aggregate (lang grain — a handful of rows) plus a
+    broadcast of the single normalizer row. The subtlety is the
+    normalizer sum: a plain sum() over doubles is summation-order
+    nondeterministic across engines/partitionings, so Z folds a
+    SORTED (by lang) weight list — identical IEEE order everywhere,
+    which is what lets the output ship raw unrounded doubles. The
+    same pattern generalizes to any cross-engine-exact small-group
+    float sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    z = per.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("lang", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("z")
+    )
+    share = F.col("w") / F.col("z")
+    return per.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        share.alias("share"),
+        (share * F.lit(float(MIX_BUDGET))).alias(f"alloc_per_{MIX_BUDGET}"),
+    )

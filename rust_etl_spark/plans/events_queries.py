@@ -1988,3 +1988,92 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d_us").cast("long").alias("min_us"),
         F.max("d_us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "events_changepoint",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // {DAY_US} AS day_idx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        pre AS (
+            SELECT event_type, day_idx, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS k,
+                   sum(n) OVER (PARTITION BY event_type) AS total,
+                   count(*) OVER (PARTITION BY event_type) AS n_days
+            FROM daily
+        ),
+        cusum AS (
+            SELECT event_type, day_idx,
+                   CAST(n_days * prefix - k * total AS BIGINT) AS dev_scaled,
+                   CAST(n_days AS BIGINT) AS n_days
+            FROM pre
+        )
+        SELECT event_type, day_idx AS change_day, dev_scaled, n_days,
+               CAST(CASE WHEN dev_scaled > 0 THEN 1 ELSE -1 END AS BIGINT) AS direction
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY abs(dev_scaled) DESC, day_idx) AS rn
+            FROM cusum
+        ) t WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection over daily per-type volumes: the "
+    "day where the cumulative deviation from the per-type mean peaks "
+    "(the classic single-changepoint estimator). The statistic is kept "
+    "in n_days-scaled integer space (D*prefix_k - k*total, a BIGINT), "
+    "so detection is exact on both engines — no float means anywhere.",
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer CUSUM argmax per event_type.
+
+    One corpus-sized pass (the daily rollup); prefix sums, per-type
+    totals, and the argmax all run on the daily grain partitioned by
+    event_type — bounded window state, no unpartitioned window. The
+    mean is never materialized as a float: CUSUM_k * n_days =
+    n_days * prefix_k - k * total stays BIGINT, so the argmax (with a
+    day tie-break) is deterministic arithmetic end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(f"(ts_ns div 1000) div {DAY_US}").alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day_idx")
+    pre = daily.select(
+        "event_type",
+        "day_idx",
+        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("n").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+    )
+    cusum = pre.select(
+        "event_type",
+        "day_idx",
+        (F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total"))
+        .cast("long")
+        .alias("dev_scaled"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("dev_scaled")).desc(), "day_idx"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_idx").alias("change_day"),
+            "dev_scaled",
+            "n_days",
+            F.when(F.col("dev_scaled") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("direction"),
+        )
+    )
