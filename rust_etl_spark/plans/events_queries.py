@@ -2077,3 +2077,92 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@register(
+    "events_concurrency_peak",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {INTERVAL_LEN_US} AS e
+            FROM events
+        ),
+        deltas AS (
+            SELECT s AS t_us, CAST(1 AS BIGINT) AS d FROM bounds
+            UNION ALL
+            SELECT e AS t_us, CAST(-1 AS BIGINT) AS d FROM bounds
+        ),
+        swept AS (
+            SELECT t_us, t_us // {DAY_US} AS day_idx,
+                   sum(d) OVER (ORDER BY t_us, d DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+            FROM deltas
+        )
+        SELECT day_idx,
+               CAST(max(open_now) AS BIGINT) AS peak,
+               CAST(min(CASE WHEN open_now = m THEN t_us END) AS BIGINT) AS peak_at_us
+        FROM (SELECT *, max(open_now) OVER (PARTITION BY day_idx) AS m FROM swept)
+        GROUP BY day_idx
+    """,
+    doc="Peak concurrency per day: each event opens a 10-min activity "
+    "interval; the sweep-line over +1/-1 boundary deltas yields the "
+    "number of concurrently-open intervals at every instant, and per "
+    "day the peak and its first occurrence. The concurrent-sessions / "
+    "connection-pool metric. Boundary tie rule: at the same instant "
+    "opens count before closes (a touching interval pair overlaps).",
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency without a global window.
+
+    The oracle states the sweep as one global running sum (fine for
+    DuckDB); the Spark plan decomposes it exactly like
+    window_range_frame: (1) running delta sums WITHIN each day
+    partition (bounded state, partitioned window), (2) a per-day
+    carry-in = running total of all previous days' (opens - closes),
+    computed on the #days-sized daily rollup, broadcast back. open_now
+    = carry + in-day prefix; integer arithmetic end to end, opens
+    sort before closes at equal timestamps on both engines. At 100 TB
+    the only corpus-sized shuffle keys on day_idx; no single-partition
+    stage exists.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000").alias("s")
+    )
+    bounds = ev.withColumn("e", F.col("s") + F.lit(INTERVAL_LEN_US))
+    deltas = (
+        bounds.select(F.col("s").alias("t_us"), F.lit(1).cast("long").alias("d"))
+        .unionByName(
+            bounds.select(F.col("e").alias("t_us"), F.lit(-1).cast("long").alias("d"))
+        )
+        .withColumn("day_idx", F.expr(f"t_us div {DAY_US}"))
+    )
+    w_day = Window.partitionBy("day_idx").orderBy(
+        "t_us", F.col("d").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    in_day = deltas.withColumn("run", F.sum("d").over(w_day))
+
+    # Carry-in per day via a triangular self-join of the #days-sized
+    # rollup (house style, same as window_range_frame's bucket offsets:
+    # no unpartitioned window -> no single-partition stage anywhere).
+    day_tot = deltas.groupBy("day_idx").agg(F.sum("d").alias("day_sum"))
+    a, t = day_tot.alias("a"), day_tot.alias("t")
+    carry = (
+        a.join(F.broadcast(t), F.col("t.day_idx") < F.col("a.day_idx"), "left")
+        .groupBy(F.col("a.day_idx").alias("day_idx"))
+        .agg(F.coalesce(F.sum("t.day_sum"), F.lit(0)).alias("carry"))
+    )
+
+    swept = in_day.join(F.broadcast(carry), "day_idx").withColumn(
+        "open_now", F.col("carry") + F.col("run")
+    )
+    w_peak = Window.partitionBy("day_idx")
+    return (
+        swept.withColumn("m", F.max("open_now").over(w_peak))
+        .groupBy("day_idx")
+        .agg(
+            F.max("open_now").cast("long").alias("peak"),
+            F.min(F.when(F.col("open_now") == F.col("m"), F.col("t_us")))
+            .cast("long")
+            .alias("peak_at_us"),
+        )
+    )
