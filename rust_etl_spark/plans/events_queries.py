@@ -2166,3 +2166,88 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("peak_at_us"),
         )
     )
+
+
+@register(
+    "events_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // {DAY_US} AS day_idx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        dev AS (
+            SELECT event_type, day_idx,
+                   CAST(count(*) OVER w AS BIGINT) * n
+                       - CAST(sum(n) OVER w AS BIGINT) AS dv
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type)
+        ),
+        paired AS (
+            SELECT a.event_type, a.dv AS d0, b.dv AS d1
+            FROM dev a JOIN dev b
+              ON a.event_type = b.event_type AND b.day_idx = a.day_idx + 1
+        )
+        SELECT p.event_type,
+               CAST(sum(p.d0 * p.d1) AS BIGINT) AS num_scaled,
+               t.den_scaled,
+               CAST(sum(p.d0 * p.d1) AS BIGINT) / CAST(t.den_scaled AS DOUBLE) AS r1
+        FROM paired p
+        JOIN (
+            SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS den_scaled
+            FROM dev GROUP BY event_type
+        ) t USING (event_type)
+        GROUP BY p.event_type, t.den_scaled
+    """,
+    doc="Lag-1 autocorrelation of daily per-type volumes: is today's "
+    "traffic predictive of tomorrow's? Deviations are kept n_days-"
+    "scaled in integer space (D*n - total), so numerator and "
+    "denominator are exact BIGINTs and r1 is a single exact IEEE "
+    "division — no float means, no rounding.",
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer lag-1 autocorrelation per event_type.
+
+    Daily rollup (the one corpus-sized pass), then everything runs on
+    the daily grain partitioned by event_type: per-type count/total
+    via a partitioned window, lag pairing via a windowed lead (one
+    shuffle, reused), and the two quadratic sums as BIGINTs (bounded:
+    scaled deviations are ~days*daily_count, their squares sum well
+    inside 2^63 for any realistic day count). r1 = num/den is one
+    correctly-rounded division on identical operands.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(f"(ts_ns div 1000) div {DAY_US}").alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = Window.partitionBy("event_type")
+    dev = daily.select(
+        "event_type",
+        "day_idx",
+        (
+            F.count(F.lit(1)).over(wt).cast("long") * F.col("n")
+            - F.sum("n").over(wt).cast("long")
+        ).alias("dv"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day_idx")
+    paired = dev.select(
+        "event_type",
+        F.col("dv").alias("d0"),
+        F.lead("dv").over(wo).alias("d1"),
+        F.lead("day_idx").over(wo).alias("next_day"),
+        "day_idx",
+    ).filter(F.col("next_day") == F.col("day_idx") + 1)
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den_scaled")
+    )
+    return (
+        paired.groupBy("event_type")
+        .agg(F.sum(F.col("d0") * F.col("d1")).cast("long").alias("num_scaled"))
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "num_scaled",
+            "den_scaled",
+            (F.col("num_scaled") / F.col("den_scaled").cast("double")).alias("r1"),
+        )
+    )
