@@ -672,3 +672,97 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").cast("long").alias("max_cents"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# ------------------------------------------------- ABC / Pareto classes
+
+ABC_BAND = 100_000_000  #: revenue-band width for the two-level prefix
+#: integer cents x pct revenue: round(price*100) * (100 - round(disc*100))
+_REV_SCALED = (
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+)
+
+
+@register(
+    "abc_analysis",
+    oracle=f"""
+        WITH part_rev AS (
+            SELECT l_partkey, CAST(sum({_REV_SCALED}) AS BIGINT) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, rev,
+                   CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS BIGINT) AS cum_before,
+                   CAST(sum(rev) OVER () AS BIGINT) AS total
+            FROM part_rev
+        ),
+        classed AS (
+            SELECT CASE
+                     WHEN coalesce(cum_before, 0) * 5 < total * 4 THEN 'A'
+                     WHEN coalesce(cum_before, 0) * 20 < total * 19 THEN 'B'
+                     ELSE 'C'
+                   END AS cls, rev
+            FROM ranked
+        )
+        SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev) AS BIGINT) AS rev_scaled
+        FROM classed GROUP BY cls
+    """,
+    doc="ABC (Pareto) revenue classification of parts: rank by revenue "
+    "descending, class A until the cumulative share crosses 80%, B "
+    "until 95%, C after — the inventory-prioritization classic. Money "
+    "is integer cents x integer discount-pct throughout, thresholds are "
+    "integer cross-multiplications, so classification is exact.",
+)
+def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pareto classes without a table-sized global window.
+
+    The oracle's global cumulative sum is decomposed house-style:
+    parts bucket into revenue bands, the ordered prefix runs WITHIN
+    each band (partitioned window over band-sized groups), and
+    per-band offsets come from a triangular join of the bands-sized
+    rollup — no single-partition stage touches the part grain. The
+    classing compare is integer cross-multiplication (cum*5 < total*4)
+    on exact scaled-cents BIGINTs, so no float share ever exists.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = (
+        li.select("l_partkey", F.expr(_REV_SCALED).alias("r"))
+        .groupBy("l_partkey")
+        .agg(F.sum("r").cast("long").alias("rev"))
+    )
+    banded = part_rev.withColumn("band", F.expr(f"rev div {ABC_BAND}"))
+    w_in = Window.partitionBy("band").orderBy(
+        F.col("rev").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    in_band = banded.withColumn(
+        "pre_in", F.coalesce(F.sum("rev").over(w_in), F.lit(0))
+    )
+    band_tot = banded.groupBy("band").agg(F.sum("rev").alias("brev"))
+    a, t = band_tot.alias("a"), band_tot.alias("t")
+    # higher bands sort FIRST (revenue desc), so a band's offset sums
+    # every strictly-higher band
+    offsets = (
+        a.join(F.broadcast(t), F.col("t.band") > F.col("a.band"), "left")
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(F.coalesce(F.sum("t.brev"), F.lit(0)).alias("off"))
+    )
+    total = part_rev.agg(F.sum("rev").cast("long").alias("total"))
+    classed = (
+        in_band.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum_before", F.col("off") + F.col("pre_in"))
+        .withColumn(
+            "cls",
+            F.when(F.col("cum_before") * 5 < F.col("total") * 4, F.lit("A"))
+            .when(F.col("cum_before") * 20 < F.col("total") * 19, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return classed.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev").cast("long").alias("rev_scaled"),
+    )
