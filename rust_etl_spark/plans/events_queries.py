@@ -2251,3 +2251,74 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("num_scaled") / F.col("den_scaled").cast("double")).alias("r1"),
         )
     )
+
+
+HAAR_LEVELS = 3  #: day -> 2-day -> 4-day -> 8-day coefficient pyramid
+
+
+@register(
+    "events_haar_pyramid",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // {DAY_US} AS day_idx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        lv AS (
+            SELECT l FROM (SELECT unnest(range(1, {HAAR_LEVELS + 1})) AS l)
+        ),
+        coef AS (
+            SELECT d.event_type, lv.l AS level,
+                   d.day_idx // (1 << lv.l) AS block,
+                   CAST(sum(d.n) AS BIGINT) AS approx,
+                   CAST(sum(CASE WHEN (d.day_idx // (1 << (lv.l - 1))) % 2 = 0
+                                 THEN d.n ELSE -d.n END) AS BIGINT) AS detail
+            FROM daily d CROSS JOIN lv
+            GROUP BY d.event_type, lv.l, d.day_idx // (1 << lv.l)
+        )
+        SELECT event_type, level, block, approx, detail FROM coef
+    """,
+    doc=f"Haar wavelet pyramid over daily per-type volumes ({HAAR_LEVELS} "
+    "levels: 2/4/8-day blocks): per block the approximation (block sum) "
+    "and detail (first-half minus second-half) coefficients — the "
+    "multi-resolution sketch behind time-series compression and "
+    "scale-localized anomaly detection. Coefficients are integer sums "
+    "and differences of counts: exact on both engines.",
+)
+def events_haar_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Haar coefficients at three dyadic scales.
+
+    One corpus-sized daily rollup, then each level is a map-side
+    re-key of the SAME daily grain (block = day div 2^level, sign =
+    parity of the half-block) — the union of levels shuffles
+    days x levels rows on (type, level, block), all BIGINT arithmetic.
+    At 100 TB nothing beyond the daily rollup touches event grain, and
+    the pyramid is how a year of per-minute buckets compresses into a
+    fixed-size multi-scale profile.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(f"(ts_ns div 1000) div {DAY_US}").alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    levels = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        half = 1 << (lvl - 1)
+        block = 1 << lvl
+        levels.append(
+            daily.select(
+                "event_type",
+                F.lit(lvl).cast("long").alias("level"),
+                F.expr(f"day_idx div {block}").alias("block"),
+                "n",
+                F.when(F.expr(f"(day_idx div {half}) % 2 = 0"), F.col("n"))
+                .otherwise(-F.col("n"))
+                .alias("signed"),
+            )
+        )
+    stacked = levels[0]
+    for extra in levels[1:]:
+        stacked = stacked.unionByName(extra)
+    return stacked.groupBy("event_type", "level", "block").agg(
+        F.sum("n").cast("long").alias("approx"),
+        F.sum("signed").cast("long").alias("detail"),
+    )
