@@ -2322,3 +2322,132 @@ def events_haar_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("approx"),
         F.sum("signed").cast("long").alias("detail"),
     )
+
+
+# ------------------------------------------------- Benford digit audit
+
+#: Benford expected shares, embedded as identical literals on both
+#: engines (computing log10 at query time would risk ulp-level libm
+#: divergence; a generated constant cannot).
+_BENFORD_CASE = "CASE first_digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END"
+
+
+@register(
+    "events_benford_audit",
+    oracle=f"""
+        WITH cents AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+            FROM events WHERE value > 0
+        ),
+        digits AS (
+            SELECT c // CAST(power(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+                   AS first_digit
+            FROM cents
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM digits)
+        SELECT first_digit,
+               CAST(count(*) AS BIGINT) AS n,
+               count(*) / CAST(n_total AS DOUBLE) AS share,
+               {_BENFORD_CASE} AS benford_share
+        FROM digits CROSS JOIN tot
+        GROUP BY first_digit, n_total
+    """.replace("{_BENFORD_CASE}", _BENFORD_CASE),
+    doc="Benford's-law first-digit audit of event values: observed vs "
+    "expected leading-digit shares - the fraud/data-quality screen for "
+    "any money-like column. Digits extract by integer division against "
+    "the decimal length of the cents value (no log10 at query time: "
+    "portable across engines), shares are exact divisions, and the "
+    "Benford constants embed as identical generated literals.",
+)
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution with exact arithmetic.
+
+    One scan: cents (exact 2-decimal money), decimal length via string
+    length of the integer (identical on both engines, unlike float
+    log10), digit by integer division, then a 9-group aggregate with
+    the scalar total broadcast. Map-side combinable; at 100 TB this is
+    among the cheapest full-column audits that exist.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = ev.select(F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"))
+    digits = cents.select(
+        F.expr(
+            "c div CAST(power(10, length(CAST(c AS STRING)) - 1) AS BIGINT)"
+        ).alias("first_digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("first_digit", "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "first_digit",
+            "n",
+            (F.col("n") / F.col("n_total").cast("double")).alias("share"),
+            F.expr(_BENFORD_CASE).alias("benford_share"),
+        )
+    )
+
+
+@register(
+    "events_entropy_profile",
+    oracle="""
+        WITH mix AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT user_id, CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM mix GROUP BY user_id
+        ),
+        terms AS (
+            SELECT m.user_id, m.event_type, t.nt, t.n_types,
+                   (m.n / CAST(t.nt AS DOUBLE)) * ln(m.n / CAST(t.nt AS DOUBLE)) AS plp
+            FROM mix m JOIN tot t USING (user_id)
+        )
+        SELECT user_id, nt AS n_events, n_types,
+               round(-list_reduce(list(plp ORDER BY event_type),
+                                  (a, b) -> a + b), 4) AS entropy
+        FROM terms GROUP BY user_id, nt, n_types
+    """,
+    doc="Per-user behavioral diversity: Shannon entropy of each user's "
+    "event-type mix (0 = single-minded, ln(6) = uniform across types) — "
+    "a standard engagement/bot-detection feature. Probabilities are "
+    "exact integer ratios; the entropy sum folds the per-type terms in "
+    "SORTED event_type order on both engines (the sorted-fold pattern) "
+    "and rounds to 4 digits under the same discipline as the LM scores.",
+)
+def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type mix entropy per user.
+
+    Two aggregates on the (user, type) grain (map-side combinable; the
+    second is user-grain), then a per-user sorted fold over at most
+    #event-types terms — bounded state, deterministic order, one
+    user_id shuffle reused throughout. No UDFs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mix = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = mix.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("n") / F.col("nt").cast("double")
+    terms = mix.join(tot, "user_id").select(
+        "user_id", "nt", "n_types", "event_type", (p * F.log(p)).alias("plp")
+    )
+    folded = terms.groupBy("user_id", "nt", "n_types").agg(
+        F.round(
+            -F.aggregate(
+                F.sort_array(F.collect_list(F.struct("event_type", "plp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["plp"],
+            ),
+            4,
+        ).alias("entropy")
+    )
+    return folded.select(
+        "user_id", F.col("nt").alias("n_events"), "n_types", "entropy"
+    )
