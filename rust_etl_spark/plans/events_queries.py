@@ -2451,3 +2451,123 @@ def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "user_id", F.col("nt").alias("n_events"), "n_types", "entropy"
     )
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+        WITH ts AS (
+            SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events
+        ),
+        obs_end AS (SELECT max(t_us) AS t_end FROM ts),
+        ordered AS (
+            SELECT user_id, t_us,
+                   lead(t_us) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, event_id) AS t_next
+            FROM ts
+        ),
+        durations AS (
+            SELECT CASE WHEN t_next IS NULL
+                        THEN (SELECT t_end FROM obs_end) - t_us
+                        ELSE t_next - t_us END // {DAY_US} AS day,
+                   CASE WHEN t_next IS NULL THEN 0 ELSE 1 END AS death
+            FROM ordered
+        ),
+        per_day AS (
+            SELECT day, CAST(sum(death) AS BIGINT) AS n_death,
+                   CAST(count(*) - sum(death) AS BIGINT) AS n_censor,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM durations GROUP BY day
+        ),
+        risk AS (
+            SELECT a.day, a.n_death, a.n_censor,
+                   CAST((SELECT sum(n_total) FROM per_day) AS BIGINT)
+                       - CAST(coalesce(sum(b.n_total), 0) AS BIGINT) AS n_risk
+            FROM per_day a LEFT JOIN per_day b ON b.day < a.day
+            GROUP BY a.day, a.n_death, a.n_censor
+        ),
+        factors AS (
+            SELECT day, n_death, n_censor, n_risk,
+                   1.0 - n_death / CAST(n_risk AS DOUBLE) AS f
+            FROM risk
+        )
+        SELECT a.day, a.n_risk, a.n_death, a.n_censor,
+               list_reduce(list(b.f ORDER BY b.day), (x, y) -> x * y) AS surv
+        FROM factors a JOIN factors b ON b.day <= a.day
+        GROUP BY a.day, a.n_risk, a.n_death, a.n_censor
+    """,
+    doc="Kaplan-Meier survival of inter-event waiting times (day "
+    "buckets): each user's consecutive gaps are observed 'failures', "
+    "the tail gap to the observation end is right-censored, and "
+    "S(day) = prod(1 - deaths/at-risk) over days <= day — the "
+    "time-to-churn curve, estimated the way survival analysis demands "
+    "(censoring respected, deaths-before-censors at ties). Factors are "
+    "exact integer ratios and the product folds in sorted day order on "
+    "both engines, so the curve ships as raw unrounded doubles.",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM estimator on the day-grain — no corpus-sized global pass.
+
+    The corpus-sized work is one per-user lead() (single user_id
+    shuffle) producing durations; everything after runs on the
+    day-grain rollup (~observation-span rows): at-risk counts and the
+    cumulative survival product both come from triangular joins of
+    that tiny table (house pattern — no unpartitioned window), and the
+    product folds a SORTED factor list so multiplication order is
+    engine-identical.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    t_end = ev.agg(F.max("t_us").alias("t_end"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    ordered = ev.withColumn("t_next", F.lead("t_us").over(w))
+    durations = ordered.crossJoin(F.broadcast(t_end)).select(
+        (
+            F.when(F.col("t_next").isNull(), F.col("t_end") - F.col("t_us"))
+            .otherwise(F.col("t_next") - F.col("t_us"))
+            / F.lit(DAY_US)
+        )
+        .cast("long")
+        .alias("day"),
+        F.when(F.col("t_next").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("death"),
+    )
+    per_day = durations.groupBy("day").agg(
+        F.sum("death").cast("long").alias("n_death"),
+        (F.count(F.lit(1)) - F.sum("death")).cast("long").alias("n_censor"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    grand = per_day.agg(F.sum("n_total").cast("long").alias("g"))
+    a, b = per_day.alias("a"), per_day.alias("b")
+    risk = (
+        a.join(F.broadcast(b), F.col("b.day") < F.col("a.day"), "left")
+        .groupBy(F.col("a.day").alias("day"), "a.n_death", "a.n_censor")
+        .agg(F.coalesce(F.sum("b.n_total"), F.lit(0)).alias("before"))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "day",
+            F.col("a.n_death").alias("n_death"),
+            F.col("a.n_censor").alias("n_censor"),
+            (F.col("g") - F.col("before")).cast("long").alias("n_risk"),
+        )
+    )
+    factors = risk.withColumn(
+        "f", F.lit(1.0) - F.col("n_death") / F.col("n_risk").cast("double")
+    )
+    fa, fb = factors.alias("fa"), factors.alias("fb")
+    return (
+        fa.join(F.broadcast(fb), F.col("fb.day") <= F.col("fa.day"))
+        .groupBy(
+            F.col("fa.day").alias("day"),
+            F.col("fa.n_risk").alias("n_risk"),
+            F.col("fa.n_death").alias("n_death"),
+            F.col("fa.n_censor").alias("n_censor"),
+        )
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(F.col("fb.day"), F.col("fb.f")))),
+                F.lit(1.0),
+                lambda acc, x: acc * x["f"],
+            ).alias("surv")
+        )
+    )

@@ -766,3 +766,90 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum("rev").cast("long").alias("rev_scaled"),
     )
+
+
+# ------------------------------------------------- Gini concentration
+
+GINI_BAND = 1_000_000  #: spend-band width (cents) for the rank decomposition
+
+
+@register(
+    "gini_customer_spend",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk,
+                   CAST(count(*) OVER () AS BIGINT) AS n,
+                   CAST(sum(cents) OVER () AS BIGINT) AS total
+            FROM spend
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(max(total) AS BIGINT) AS total_cents,
+               CAST(sum(2 * rk * cents) - (max(n) + 1) * max(total) AS BIGINT)
+                   AS gini_num_scaled,
+               (CAST(sum(2 * rk * cents) - (max(n) + 1) * max(total) AS BIGINT))
+                   / (CAST(max(n) AS DOUBLE) * CAST(max(total) AS DOUBLE)) AS gini
+        FROM ranked
+    """,
+    doc="Gini coefficient of customer spend concentration (0 = equal, "
+    "->1 = one whale): G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)) "
+    "over ascending-spend ranks. Money is integer cents, the numerator "
+    "is exact BIGINT, and G is two exact casts and one division — the "
+    "inequality metric that also audits domain concentration in a "
+    "training corpus.",
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini without a table-sized global ranking window.
+
+    Ranks decompose house-style (same as abc_analysis): customers
+    bucket into spend bands; in-band ascending row_numbers run in
+    partitioned windows and each band's rank offset is the COUNT of
+    all lower bands (triangular join of the bands-sized rollup). The
+    final reduction is one map-side-combinable aggregate of exact
+    integers; the only floats are the two casts in the last division.
+    The tie order (cents, custkey) matches the oracle exactly — with
+    equal cents in different... impossible: bands partition by cents,
+    so cross-band ties cannot exist and in-band order is total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.select(
+            "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    banded = spend.withColumn("band", F.expr(f"cents div {GINI_BAND}"))
+    w_in = Window.partitionBy("band").orderBy("cents", "o_custkey")
+    in_band = banded.withColumn("rk_in", F.row_number().over(w_in).cast("long"))
+    band_cnt = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    a, t = band_cnt.alias("a"), band_cnt.alias("t")
+    offsets = (
+        a.join(F.broadcast(t), F.col("t.band") < F.col("a.band"), "left")
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(F.coalesce(F.sum("t.bn"), F.lit(0)).alias("off"))
+    )
+    ranked = in_band.join(F.broadcast(offsets), "band").withColumn(
+        "rk", F.col("off") + F.col("rk_in")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.lit(2) * F.col("rk") * F.col("cents")).cast("long").alias("s2rx"),
+    )
+    num = F.col("s2rx") - (F.col("n_customers") + 1) * F.col("total_cents")
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        num.cast("long").alias("gini_num_scaled"),
+        (
+            num.cast("long")
+            / (F.col("n_customers").cast("double") * F.col("total_cents").cast("double"))
+        ).alias("gini"),
+    )
