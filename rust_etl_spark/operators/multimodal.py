@@ -142,3 +142,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs))
+
+
+AUDIO_FRAME = 256  #: bytes per analysis frame (8-bit PCM stand-in)
+
+_AUDIO_SCHEMA = "doc_id long, n_frames long, rms_mean double, rms_peak double"
+
+
+def audio_frame_rms(df: DataFrame) -> DataFrame:
+    """Per-payload frame-RMS profile via one numpy kernel per Arrow
+    batch — the loudness-envelope pass of an audio pipeline, with the
+    payload treated as 8-bit PCM (the honest stand-in: codec libs are
+    absent, but the batch shape, framing, and vectorized reduction are
+    exactly what a real decoder feeds)."""
+    import numpy as np
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "rms_mean": [], "rms_peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                n = (len(x) // AUDIO_FRAME) * AUDIO_FRAME
+                if n == 0:
+                    continue
+                frames = x[:n].reshape(-1, AUDIO_FRAME)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(rms))
+                out["rms_mean"].append(float(rms.mean()))
+                out["rms_peak"].append(float(rms.max()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(per_batch, schema=_AUDIO_SCHEMA)
+
+
+@register(
+    "multimodal_audio_rms",
+    oracle=None,  # byte-level numpy kernel; value-pinned against a pure-
+    # Python reference in tests/test_multimodal.py
+    doc=f"Frame-RMS loudness profile over binary payloads ({AUDIO_FRAME}-"
+    "byte frames as 8-bit PCM): per doc the frame count, mean and peak "
+    "RMS — the audio-envelope analysis pattern, Arrow-batched with one "
+    "vectorized numpy reduction per batch and only frame-level "
+    "statistics leaving the worker.",
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_rms(attach_binary_payload(docs))

@@ -933,3 +933,64 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- readability scores
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+        WITH counted AS (
+            SELECT doc_id,
+                   CAST({token_count_sql('text')} AS BIGINT) AS n_words,
+                   CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                        AS BIGINT) AS n_sents,
+                   CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                        AS BIGINT) AS n_syll
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sents, n_syll,
+               (206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE)))
+                   - 84.6 * (n_syll / CAST(n_words AS DOUBLE)) AS flesch,
+               (0.39 * (n_words / CAST(n_sents AS DOUBLE))
+                   + 11.8 * (n_syll / CAST(n_words AS DOUBLE))) - 15.59 AS fk_grade
+        FROM counted WHERE n_words > 0
+    """,
+    doc="Flesch reading-ease and Flesch-Kincaid grade per document, "
+    "with vowel-group runs as the syllable proxy (the standard "
+    "heuristic) — the readability gate of a text-quality pipeline. "
+    "Counts are integers from engine-identical regexes; the score "
+    "formulas evaluate in one fixed parenthesized order, so the raw "
+    "unrounded doubles hash-match across engines.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring — one map-side pass, no shuffle.
+
+    Word counts reuse the engine tokenizer; sentences and syllable
+    proxies are regexp counts (RE2/Java agree on these character-class
+    patterns — probed before shipping); both denominators are floored
+    at 1 so the formulas are total. Everything runs inside whole-stage
+    codegen on one documents scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1)
+        ).cast("long").alias("n_sents"),
+        F.greatest(
+            F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+        ).cast("long").alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words") / F.col("n_sents").cast("double")
+    spw = F.col("n_syll") / F.col("n_words").cast("double")
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        ((F.lit(206.835) - F.lit(1.015) * wps) - F.lit(84.6) * spw).alias("flesch"),
+        ((F.lit(0.39) * wps + F.lit(11.8) * spw) - F.lit(15.59)).alias("fk_grade"),
+    )

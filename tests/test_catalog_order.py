@@ -36,6 +36,9 @@ ROWS_ONLY_OK = {
     # Iterative power-iteration eigensolve has no SQL mirror; pinned
     # against an independent numpy eigendecomposition in test_pca.py.
     "embedding_pca_project",
+    # Byte-level numpy RMS kernel (no SQL byte explode); value-pinned
+    # against a pure-Python reference in test_multimodal.py.
+    "multimodal_audio_rms",
 }
 
 
