@@ -1179,3 +1179,95 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return totals.crossJoin(tri).select("n_edges", "n_wedges", "n_triangles")
+
+
+# ------------------------------------------ simhash near-dup pairs
+
+SIMHASH_BANDS = 4  #: 32-bit sig -> 4 x 8-bit pigeonhole blocks
+SIMHASH_HAMMING_TAU = 3  #: <= 3 differing bits => near-dup (4 bands
+#: guarantee recall: 3 flips cannot touch all 4 blocks)
+SIMHASH_MAX_BUCKET = 64
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH base AS ({_SIMHASH_ORACLE}),
+        bands AS (
+            SELECT doc_id, simhash, b,
+                   (simhash >> (8 * b)) & 255 AS v
+            FROM base CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS b) bb
+        ),
+        capped AS (
+            SELECT doc_id, simhash, b, v FROM (
+                SELECT *, count(*) OVER (PARTITION BY b, v) AS bucket_n FROM bands
+            ) t WHERE bucket_n <= {SIMHASH_MAX_BUCKET}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   a.simhash AS sa, c.simhash AS sb
+            FROM capped a
+            JOIN capped c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_TAU}
+    """,
+    doc=f"SimHash near-dup PAIRS: pigeonhole the {SIMHASH_BITS}-bit "
+    f"signature into {SIMHASH_BANDS} 8-bit blocks (any pair within "
+    f"Hamming {SIMHASH_HAMMING_TAU} must agree on one whole block), "
+    "generate candidates only inside block buckets, verify by popcount "
+    "of the XOR — the step that turns the simhash signature into an "
+    "actual dedup decision, Google-crawl style.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-blocked SimHash pair generation.
+
+    Candidates never self-join the corpus: signatures (map-side, zero
+    shuffle — see dedup_simhash) explode into SIMHASH_BANDS block
+    keys, buckets cap at SIMHASH_MAX_BUCKET like the MinHash path, and
+    pairs expand in-row from the sorted bucket member list carrying
+    both signatures, so verification (bit_count of XOR — pure integer)
+    needs no join back. At 100 TB the shuffle is block-key-sized and
+    the pigeonhole guarantees every Hamming<=tau pair survives to the
+    exact verify.
+    """
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(f"(simhash >> {8 * b}) & 255").alias("v"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    buckets = (
+        bands.groupBy("b", "v")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= SIMHASH_MAX_BUCKET))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), y -> "
+                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.simhash AS sa, y.simhash AS sb))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.sa", "p.sb").distinct()
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.filter(hamming <= SIMHASH_HAMMING_TAU)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
