@@ -1271,3 +1271,74 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(hamming <= SIMHASH_HAMMING_TAU)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
+
+
+# ------------------------------------------------- novelty profiling
+
+
+@register(
+    "corpus_novelty_curve",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest((SELECT CASE WHEN len(t) < 3 THEN [] ELSE list_transform(range(1, len(t) - 1), i -> t[i + 0] || ' ' || t[i + 1] || ' ' || t[i + 2]) END FROM (SELECT (CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t))) AS s
+            FROM documents
+        ),
+        per AS (SELECT DISTINCT doc_id, s FROM sh),
+        first_seen AS (
+            SELECT s, min(doc_id) AS first_doc FROM per GROUP BY s
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM per p JOIN first_seen f USING (s)
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, n_shingles, n_novel,
+               n_novel / CAST(n_shingles AS DOUBLE) AS novelty
+        FROM scored
+    """,
+    doc="Per-document novelty: the fraction of a doc's distinct "
+    "3-shingles never seen in any LOWER-doc_id document — the "
+    "information-gain curve of corpus growth (near-zero novelty = the "
+    "doc is recombined boilerplate; curation drops it before any "
+    "pairwise dedup runs). Exact integer counts; novelty is one exact "
+    "division.",
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen shingle attribution (ingestion-order novelty).
+
+    Inverted-index shape shared with the Jaccard path: distinct
+    (doc, shingle) postings, one min-aggregate per shingle for its
+    first-seen doc, joined back on the shingle key — vocabulary-keyed
+    shuffles only, never a doc-pair expansion. The production form of
+    'is this crawl snapshot adding anything', incremental by
+    construction: at 100 TB the first_seen table IS the stored index
+    and a new batch only probes it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    per = (
+        toks.select("doc_id", F.explode(word_shingles(F.col("t"), 3)).alias("s"))
+        .distinct()
+    )
+    first_seen = per.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        per.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_shingles").cast("double")).alias("novelty"),
+    )
