@@ -1278,7 +1278,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_novelty_curve",
-    oracle=f"""
+    oracle=r"""
         WITH sh AS (
             SELECT doc_id, unnest((SELECT CASE WHEN len(t) < 3 THEN [] ELSE list_transform(range(1, len(t) - 1), i -> t[i + 0] || ' ' || t[i + 1] || ' ' || t[i + 2]) END FROM (SELECT (CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t))) AS s
             FROM documents
