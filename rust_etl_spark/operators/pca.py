@@ -23,12 +23,16 @@ Decomposition strategy, sized for 100 TB:
 - The projection pass is pure built-ins (``zip_with``/``aggregate``
   fold), JVM-side.
 
-Determinism: eigh on an identical matrix is deterministic, and the
+Determinism: eigh on an identical matrix is deterministic and the
 eigenvector's sign is normalized (first nonzero component positive),
-so repeated runs give identical scores. rows-only in the
-catalog (a driver-side eigensolve has no ANSI-SQL mirror);
-tests/test_pca.py pins the result against an independent numpy
-eigendecomposition.
+but the covariance cells are distributed double sums (groupBy +
+``F.sum`` of Gram partials) whose accumulation order depends on
+partitioning — so across runs/configs the pc1 scores are reproducible
+only up to float-summation jitter, which the corpus's small eigengap
+can amplify into the low decimal digits. rows-only in the catalog (a
+driver-side eigensolve has no ANSI-SQL mirror); tests/test_pca.py
+pins the result against an independent numpy eigendecomposition with
+a 2e-4 tolerance sized to absorb exactly that residual.
 
 Reference parity: the reference (/root/reference) has no numeric
 compute at all (SURVEY.md §2b); this is part of the mandated

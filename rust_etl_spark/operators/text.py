@@ -546,10 +546,10 @@ LM_SCORE_DIGITS = 4
         total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_tokens,
-               round(avg(-ln(c / t)), {LM_SCORE_DIGITS}) AS neg_logprob
+               {round_half_up_sql('avg(-ln(c / t))', LM_SCORE_DIGITS)} AS neg_logprob
         FROM tok JOIN freq USING (w) CROSS JOIN total
         GROUP BY doc_id
-    """.replace("{{toks}}", "{toks}").format(toks=tokens_sql("text")),
+    """.format(toks=tokens_sql("text")),
     doc="CCNet-style unigram language-model quality score: per-document "
     "mean negative log-probability under the corpus's own unigram "
     "distribution (lower = more typical text; high values flag gibberish "
@@ -577,7 +577,7 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), LM_SCORE_DIGITS).alias(
+            round_half_up(F.avg(-F.log(F.col("c") / F.col("t"))), LM_SCORE_DIGITS).alias(
                 "neg_logprob"
             ),
         )
@@ -885,10 +885,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         c1 AS (SELECT p, count(*) AS n1 FROM big GROUP BY p)
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(avg(-ln(n2 / n1)), {LM_SCORE_DIGITS}) AS neg_logprob
+               {round_half_up_sql('avg(-ln(n2 / n1))', LM_SCORE_DIGITS)} AS neg_logprob
         FROM big JOIN c2 USING (p, w) JOIN c1 USING (p)
         GROUP BY doc_id
-    """.replace("{{toks}}", "{toks}").format(toks=tokens_sql("text")),
+    """.format(toks=tokens_sql("text")),
     doc="Bigram language-model quality score: per-document mean "
     "-ln P(w_i | w_{i-1}) under the corpus's own bigram MLE — the "
     "order-2 refinement of lm_quality_score that additionally flags "
@@ -928,7 +928,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.avg(-F.log(F.col("n2") / F.col("n1"))), LM_SCORE_DIGITS).alias(
+            round_half_up(F.avg(-F.log(F.col("n2") / F.col("n1"))), LM_SCORE_DIGITS).alias(
                 "neg_logprob"
             ),
         )

@@ -2407,8 +2407,9 @@ def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM mix m JOIN tot t USING (user_id)
         )
         SELECT user_id, nt AS n_events, n_types,
-               round(-list_reduce(list(plp ORDER BY event_type),
-                                  (a, b) -> a + b), 4) AS entropy
+               floor((-list_reduce(list(plp ORDER BY event_type),
+                                   (a, b) -> a + b)) * 10000.0 + 0.5)
+                   / 10000.0 AS entropy
         FROM terms GROUP BY user_id, nt, n_types
     """,
     doc="Per-user behavioral diversity: Shannon entropy of each user's "
@@ -2438,8 +2439,10 @@ def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = mix.join(tot, "user_id").select(
         "user_id", "nt", "n_types", "event_type", (p * F.log(p)).alias("plp")
     )
+    from rust_etl_spark.functions.rounding import round_half_up
+
     folded = terms.groupBy("user_id", "nt", "n_types").agg(
-        F.round(
+        round_half_up(
             -F.aggregate(
                 F.sort_array(F.collect_list(F.struct("event_type", "plp"))),
                 F.lit(0.0),
@@ -2523,13 +2526,13 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     ordered = ev.withColumn("t_next", F.lead("t_us").over(w))
     durations = ordered.crossJoin(F.broadcast(t_end)).select(
-        (
-            F.when(F.col("t_next").isNull(), F.col("t_end") - F.col("t_us"))
-            .otherwise(F.col("t_next") - F.col("t_us"))
-            / F.lit(DAY_US)
-        )
-        .cast("long")
-        .alias("day"),
+        # Integer division on the microsecond gap — same exact `// DAY_US`
+        # arithmetic as the oracle (truncating a rounded double is only
+        # coincidentally equal and breaks for extreme day indices).
+        F.expr(
+            "(CASE WHEN t_next IS NULL THEN t_end - t_us"
+            f" ELSE t_next - t_us END) div {DAY_US}"
+        ).alias("day"),
         F.when(F.col("t_next").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("death"),
     )
     per_day = durations.groupBy("day").agg(

@@ -654,18 +654,58 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Customer lifetime-value deciles: per-customer order spend in "
     "exact integer cents (floor-quantized, engine-identical), ntile(10) "
     "under a total order, per-decile occupancy and spend envelope — the "
-    "value-segmentation behind tiered retention spend. The global ntile "
-    "runs over customer-grain rows (not orders); its single-partition "
-    "cost is bounded by the customer count, and the same decile edges "
-    "could be derived two-phase from percentile ranks at larger scale.",
+    "value-segmentation behind tiered retention spend.",
 )
 def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ntile(10) without a customer-grain global window.
+
+    Customer grain is 10^8-10^9 rows at 100 TB — a global
+    ``Window.orderBy`` would sort all of it in one task. Instead the
+    global rank decomposes house-style (same machinery as
+    gini_customer_spend / abc_analysis): customers bucket into spend
+    bands, ascending row_numbers run in band-partitioned windows, each
+    band's rank offset is the count of all lower bands (triangular
+    join of the bands-sized rollup), and the decile comes from the
+    rank arithmetically via ntile's documented fill rule — with
+    n rows, q = n div 10 and r = n mod 10, the first r tiles hold
+    q+1 rows: decile = ceil(rk / (q+1)) while rk <= r*(q+1), else
+    r + ceil((rk - r*(q+1)) / q). All-integer, so it reproduces the
+    oracle's ntile exactly. Bands partition by cents, so cross-band
+    ties cannot exist and the (cents, o_custkey) order is total.
+    """
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    dec = spend.select("o_custkey", "cents", F.ntile(10).over(w).cast("long").alias("decile"))
+    banded = spend.withColumn("band", F.expr(f"cents div {GINI_BAND}"))
+    w_in = Window.partitionBy("band").orderBy("cents", "o_custkey")
+    in_band = banded.withColumn("rk_in", F.row_number().over(w_in).cast("long"))
+    band_cnt = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    a, t = band_cnt.alias("a"), band_cnt.alias("t")
+    offsets = (
+        a.join(F.broadcast(t), F.col("t.band") < F.col("a.band"), "left")
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(F.coalesce(F.sum("t.bn"), F.lit(0)).alias("off"))
+    )
+    n_tot = spend.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        in_band.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("rk", F.col("off") + F.col("rk_in"))
+    )
+    dec = ranked.withColumn(
+        "decile",
+        F.expr(
+            """
+            CASE WHEN rk <= (n % 10) * (n div 10 + 1)
+                 THEN (rk + (n div 10)) div (n div 10 + 1)
+                 ELSE (n % 10)
+                      + (rk - (n % 10) * (n div 10 + 1) + (n div 10) - 1)
+                        div (n div 10)
+            END
+            """
+        ).cast("long"),
+    )
     return dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.min("cents").cast("long").alias("min_cents"),

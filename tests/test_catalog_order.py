@@ -33,8 +33,8 @@ ROWS_ONLY_OK = {
     # carries its own evidence and test_layout.py pins the bounds
     # (zero false negatives, fp-rate ceiling).
     "bloom_prefilter",
-    # Iterative power-iteration eigensolve has no SQL mirror; pinned
-    # against an independent numpy eigendecomposition in test_pca.py.
+    # Driver-side direct eigendecomposition (eigh) has no SQL mirror;
+    # pinned against an independent numpy eigensolve in test_pca.py.
     "embedding_pca_project",
     # Byte-level numpy RMS kernel (no SQL byte explode); value-pinned
     # against a pure-Python reference in test_multimodal.py.
@@ -85,3 +85,34 @@ def test_no_rows_only_surprises():
     """A new oracle-less query must be added to ROWS_ONLY_OK consciously."""
     rows_only = set(catalog.queries()) - set(catalog.oracle_sql())
     assert rows_only <= ROWS_ONLY_OK, f"unexpected rows-only queries: {sorted(rows_only - ROWS_ONLY_OK)}"
+
+
+def test_documented_counts_match_registry():
+    """Derive the query counts from the registry and pin the numbers the
+    prose claims (README.md / SURVEY.md) — rounds 4 and 5 both shipped
+    off-by-one doc drift; this makes the next one fail locally."""
+    import os
+    import re
+
+    n_total = len(catalog.queries())
+    n_oracled = len(catalog.oracle_sql())
+    n_rows_only = n_total - n_oracled
+    assert n_rows_only == len(ROWS_ONLY_OK)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "README.md")) as f:
+        readme = f.read()
+    with open(os.path.join(root, "SURVEY.md")) as f:
+        survey = f.read()
+    assert f"{n_total} queries, {n_oracled} oracle-backed" in readme, (
+        f"README.md count drifted from registry ({n_total}/{n_oracled})"
+    )
+    assert f"({n_total} queries, {n_oracled} with" in survey, (
+        f"SURVEY.md count drifted from registry ({n_total}/{n_oracled})"
+    )
+    # No OTHER total/oracled claims hiding elsewhere in the prose.
+    for doc, name in ((readme, "README.md"), (survey, "SURVEY.md")):
+        for m in re.finditer(r"(\d+) queries, (\d+) oracle", doc):
+            assert m.group(1) == str(n_total) and m.group(2) == str(n_oracled), (
+                f"{name} stale count: {m.group(0)!r}"
+            )

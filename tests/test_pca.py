@@ -1,7 +1,7 @@
 """embedding_pca_project vs an independent numpy eigendecomposition.
 
-The operator is rows-only in the catalog (iterative eigensolve — no
-SQL mirror), so this is its correctness gate: covariance, principal
+The operator is rows-only in the catalog (driver-side direct
+eigendecomposition via eigh — no SQL mirror), so this is its correctness gate: covariance, principal
 axis, and per-vector projections must all agree with numpy computed
 from the raw parquet, up to the sign convention and float tolerance.
 """

@@ -285,3 +285,16 @@ def test_seasonal_decompose_windows_are_partitioned(spark):
     assert "Window" in plan
     # an unpartitioned window would plan as 'Exchange SinglePartition'
     assert "Exchange SinglePartition" not in plan
+
+
+def test_customer_ltv_deciles_has_no_global_window(spark):
+    """r6 re-plan: the decile derives from band-partitioned ranks plus
+    integer ntile arithmetic (house pattern, same as gini/abc) — no
+    global ntile, and no single-partition window may touch the
+    customer grain."""
+    import re
+
+    plan = _formatted_plan(spark, "customer_ltv_deciles")
+    assert "ntile" not in plan
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n\s*\+- Window", plan):
+        raise AssertionError(f"single-partition window in plan: {m.group(0)}")
