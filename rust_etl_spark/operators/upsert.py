@@ -17,8 +17,8 @@ that point — it is never deleted unless the target also exists).
 This is crash-safe, not transactional — a
 concurrent reader can still see the directory change underneath it;
 snapshot isolation needs a table format (Delta/Iceberg), whose jars
-are not in this environment (re-checked round 5: 0 delta/iceberg/hudi
-jars among the 287 in the pyspark distribution; no network to fetch).
+are not in this environment (re-checked rounds 5 and 6: 0 delta/iceberg/hudi
+jars in the pyspark distribution; no network to fetch).
 (Write-then-rename mirrors the staging
 atomization of the reference, /root/reference/src/main.rs:10.)
 """

@@ -176,3 +176,68 @@ def test_ivf_nprobe_recall_floor(corpus, probe_structures):
         top = sorted(cand, key=lambda i: (-cos[i], i))[:K]
         recs.append(len(exact & set(top)) / K)
     assert np.mean(recs) >= 0.8, f"ivf nprobe recall {np.mean(recs):.3f}"
+
+
+def test_ivf_recall_curve_monotone(corpus, probe_structures):
+    """recall@10 as a function of nprobe (the knob), measured with the
+    SHIPPED cell assignments — the CATALOG.md appendix curve. More
+    probes may never hurt; the shipped point must sit on the curve."""
+    from rust_etl_spark.operators.similarity import IVF_CENTROID_MOD, IVF_NPROBE
+
+    X, _ = corpus
+    _, cells = probe_structures
+    n = len(X)
+    cent_ids = [i for i in range(n) if i % IVF_CENTROID_MOD == 0]
+    norms = X / np.linalg.norm(X, axis=1, keepdims=True)
+    curve = {}
+    for nprobe in range(1, len(cent_ids) + 1):
+        recs = []
+        for q in range(N_QUERIES):
+            cos = norms @ norms[q]
+            cos[q] = -np.inf
+            exact = set(np.argsort(-cos, kind="stable")[:K])
+            d = sorted((float(((X[c] - X[q]) ** 2).sum()), c) for c in cent_ids)
+            near = {c for _, c in d[:nprobe]}
+            cand = [i for i in range(n) if i != q and cells[i] in near]
+            top = sorted(cand, key=lambda i: (-cos[i], i))[:K]
+            recs.append(len(exact & set(top)) / K)
+        curve[nprobe] = round(float(np.mean(recs)), 3)
+    print("IVF_RECALL_CURVE", curve)
+    vals = [curve[p] for p in sorted(curve)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), curve
+    assert curve[len(cent_ids)] == 1.0, "all cells probed == exact scan"
+    assert curve[IVF_NPROBE] >= 0.8
+
+
+def test_lsh_recall_curve_by_probe_radius(corpus, probe_structures):
+    """recall@10 and scanned fraction at probe radius 0 (own bucket)
+    and 1 (shipped: own + 8 one-flip buckets) — the CATALOG.md
+    appendix curve for the LSH tier."""
+    from rust_etl_spark.operators.similarity import N_PLANES
+
+    X, _ = corpus
+    buckets, _ = probe_structures
+    n = len(X)
+    norms = X / np.linalg.norm(X, axis=1, keepdims=True)
+    curve = {}
+    for radius in (0, 1):
+        recs, fracs = [], []
+        for q in range(N_QUERIES):
+            cos = norms @ norms[q]
+            cos[q] = -np.inf
+            exact = set(np.argsort(-cos, kind="stable")[:K])
+            probe = {buckets[q]}
+            if radius >= 1:
+                probe |= {buckets[q] ^ (1 << i) for i in range(N_PLANES)}
+            cand = [i for i in range(n) if i != q and buckets[i] in probe]
+            fracs.append(len(cand) / n)
+            top = sorted(cand, key=lambda i: (-cos[i], i))[:K]
+            recs.append(len(exact & set(top)) / K)
+        curve[radius] = (
+            round(float(np.mean(recs)), 3),
+            round(float(np.mean(fracs)), 3),
+        )
+    print("LSH_RECALL_CURVE", curve)
+    (r0, f0), (r1, f1) = curve[0], curve[1]
+    assert r1 >= r0 and f1 > f0
+    assert r1 >= 2 * f1, "probe set must stay informative vs random"
