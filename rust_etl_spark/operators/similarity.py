@@ -31,7 +31,6 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from rust_etl_spark.functions.hashing import md5_long60_sql
 from rust_etl_spark.functions.vectors import cosine, cosine_sql, l2sq, l2sq_sql, to_double_array
@@ -318,7 +317,17 @@ _ASSIGN_SQL = f"""
 
 
 def ivf_assignments(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(vec_id, cid, dist): nearest deterministic centroid per vector."""
+    """(vec_id, cid, dist): nearest deterministic centroid per vector.
+
+    The argmin is a map-side-combinable ``min(struct(dist, cid))``
+    aggregate (lexicographic struct min == ORDER BY dist, cid), NOT a
+    per-vec_id window: the N x C broadcast-join rows are consumed by
+    the partial aggregate inside the same codegen stage, so only ~N
+    pre-combined rows ever shuffle. The 10x scaling run caught the
+    window form shuffling the full N x C cross product (C grows with
+    the corpus under the deterministic mod rule), which made
+    assignment super-linear — see SCALING.md.
+    """
     cent = (
         emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
         .select(F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec"))
@@ -328,10 +337,8 @@ def ivf_assignments(spark: SparkSession, emb: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", l2sq(F.col("v"), F.col("cvec")).alias("dist"))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    return dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-        "vec_id", "cid", "dist"
-    )
+    best = dists.groupBy("vec_id").agg(F.min(F.struct("dist", "cid")).alias("m"))
+    return best.select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
 
 
 @register(
@@ -407,9 +414,14 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         dists = emb.crossJoin(F.broadcast(cents)).select(
             "vec_id", "v", "cid", l2sq(F.col("v"), F.col("cvec")).alias("dist")
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        assigned = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        comp = assigned.select("cid", "v", F.posexplode("v").alias("d", "x"))
+        # map-side-combinable argmin (same re-plan as ivf_assignments):
+        # the N x C join rows never shuffle; v is group-constant.
+        assigned = dists.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("m"), F.first("v").alias("v")
+        )
+        comp = assigned.select(
+            F.col("m.cid").alias("cid"), F.posexplode("v").alias("d", "x")
+        )
         stats = comp.groupBy("cid", F.col("d").cast("long").alias("d")).agg(
             F.avg("x").alias("c_val"), F.count(F.lit(1)).alias("n_members")
         )

@@ -48,6 +48,16 @@ def get_spark(
         # events.parquet stores ts as TIMESTAMP(NANOS): read as long
         # (nanos) and convert in the loader, as Spark has no nanos type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Byte-small but compute-heavy tables (embeddings: 64-float
+        # arrays driving O(N*C) distance folds) under-split at the
+        # default 4 MB openCost floor — a 6 MB single-file scan plans
+        # 1-2 tasks and serializes 100% of the kernel work on one core
+        # (the 10x scaling run measured kmeans_iterate at 46x for 10x
+        # rows from exactly this). Lowering the split floor restores
+        # row-group-grain parallelism; on a real cluster the file count
+        # provides it and these two mostly don't bind.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

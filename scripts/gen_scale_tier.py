@@ -59,13 +59,23 @@ SPANS = {
     "embeddings": ("vec_id", 2_000),
 }
 N_USERS = 1_500
-ROW_GROUP = 200_000
+#: every table gets >=32 row groups so Spark's split planner can hand
+#: row-group-grain work to all cores even for byte-small tables whose
+#: per-row compute is huge (embeddings); capped so big tables don't
+#: fragment.
+def _row_group(n_rows: int) -> int:
+    return max(256, min(200_000, n_rows // 32))
 
 
 def _replicate_keyed(name: str, extra_offsets: dict[str, int], replicas: int) -> pa.Table:
     """Stack `replicas` copies with per-replica key offsets applied."""
     src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
     pk, span = SPANS.get(name, (None, None))
+    #: key-derived name columns must track the NEW key — otherwise every
+    #: name occurs `replicas` times and name-blocked operators (e.g.
+    #: fuzzy_blocked_match) see an artificial 100x pair blow-up that the
+    #: first scaling run mistook for engine super-linearity.
+    name_fmt = {"customer": ("c_name", "Customer#"), "supplier": ("s_name", "Supplier#")}
     chunks = []
     for r in range(replicas):
         df = src.to_pandas()
@@ -73,6 +83,9 @@ def _replicate_keyed(name: str, extra_offsets: dict[str, int], replicas: int) ->
             df[pk] = df[pk] + r * span
         for col, sp in extra_offsets.items():
             df[col] = df[col] + r * sp
+        if name in name_fmt:
+            ncol, prefix = name_fmt[name]
+            df[ncol] = prefix + df[pk].astype(str).str.zfill(9)
         chunks.append(pa.Table.from_pandas(df, schema=src.schema, preserve_index=False))
     return pa.concat_tables(chunks)
 
@@ -149,7 +162,9 @@ def main() -> None:
     }
     for name, table in plans.items():
         path = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(table, path, compression="snappy", row_group_size=ROW_GROUP)
+        pq.write_table(
+            table, path, compression="snappy", row_group_size=_row_group(table.num_rows)
+        )
         print(f"{name:12s} {table.num_rows:>9,} rows  "
               f"{os.path.getsize(path) / 1e6:8.1f} MB")
     print(f"\nwrote {out_dir} ({R}x sf0.1)")

@@ -1,0 +1,142 @@
+"""Measured scaling curve: sf0.1 vs the generated 10x tier.
+
+Reads the bench records (BENCH_sf0.1.json / BENCH_gen_sf1.json — full
+per-query records as written by bench.py's BENCH_LOCAL.json, renamed)
+and the scale-audit JSONs (SCALE_AUDIT.json / SCALE_AUDIT_gen_sf1.json)
+and writes SCALING.md: per-query wall-time and shuffle-byte ratios at
+10x the rows. Near-linear means wall ratio <= ~12x and shuffle ratio
+<= ~12x; anything above is flagged as the re-plan work queue.
+
+Run after:
+    python scripts/gen_scale_tier.py
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+        && cp BENCH_LOCAL.json BENCH_sf0.1.json
+    SPARK_GRAFT_SF_DIR=/root/repo/gen_sf1 python bench.py
+        && cp BENCH_LOCAL.json BENCH_gen_sf1.json
+    python scripts/scale_audit.py
+    SPARK_GRAFT_SF_DIR=/root/repo/gen_sf1 python scripts/scale_audit.py
+    python scripts/scaling_report.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_FACTOR = 10.0
+WALL_FLAG = 12.0  #: wall ratio above this at 10x rows = super-linear
+SHUFFLE_FLAG = 12.0
+
+
+def _load(name: str) -> dict | None:
+    path = os.path.join(ROOT, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    b0 = _load("BENCH_sf0.1.json")
+    b1 = _load("BENCH_gen_sf1.json")
+    a0 = _load("SCALE_AUDIT.json")
+    a1 = _load("SCALE_AUDIT_gen_sf1.json")
+    assert b0 and b1, "run bench at both tiers first (see module docstring)"
+
+    q0 = {**b0["queries"], **b0.get("queries_extended", {})}
+    q1 = {**b1["queries"], **b1.get("queries_extended", {})}
+    s0 = {r["query"]: r for r in (a0 or {}).get("rows", [])}
+    s1 = {r["query"]: r for r in (a1 or {}).get("rows", [])}
+
+    rows = []
+    for name in q0:
+        if name not in q1:
+            continue
+        w0, w1 = q0[name], q1[name]
+        wall_ratio = round(w1 / max(w0, 1e-3), 1)
+        sh0 = s0.get(name, {}).get("shuffle_write_mb")
+        sh1 = s1.get(name, {}).get("shuffle_write_mb")
+        sh_ratio = (
+            round(sh1 / max(sh0, 1e-3), 1)
+            if sh0 is not None and sh1 is not None and sh0 > 0.001
+            else None
+        )
+        sp1 = s1.get(name, {}).get("spill_mb", 0)
+        rows.append(
+            {
+                "query": name,
+                "wall_sf01": w0,
+                "wall_sf1": w1,
+                "wall_ratio": wall_ratio,
+                "shuffle_sf01_mb": sh0,
+                "shuffle_sf1_mb": sh1,
+                "shuffle_ratio": sh_ratio,
+                "spill_sf1_mb": sp1,
+            }
+        )
+    rows.sort(key=lambda r: -r["wall_ratio"])
+
+    flagged = [
+        r
+        for r in rows
+        if r["wall_ratio"] > WALL_FLAG
+        or (r["shuffle_ratio"] is not None and r["shuffle_ratio"] > SHUFFLE_FLAG)
+        or r["spill_sf1_mb"] > 0
+    ]
+    h0, h1 = b0["value"], b1["value"]
+    e0, e1 = b0.get("extended_total"), b1.get("extended_total")
+
+    out = [
+        "# Measured scaling curve — sf0.1 -> 10x generated tier",
+        "",
+        "`gen_sf1/` is a seeded 10x replication of the sf0.1 fixtures with",
+        "consistent key remapping (per-key join fan-outs preserved, document",
+        "dup-rate flat, fresh noisy embeddings — scripts/gen_scale_tier.py).",
+        "Both tiers ran the identical bench (min-of-3, noop sink, local[32])",
+        "and scale audit. At 10x rows, near-linear means wall and shuffle",
+        f"ratios <= ~{WALL_FLAG:.0f}x; queries above that (or spilling at the",
+        "10x tier) are flagged as the re-plan queue.",
+        "",
+        f"- headline total: **{h0} s -> {h1} s** "
+        f"(**{h1 / h0:.1f}x** wall for 10x rows)",
+    ]
+    if e0 and e1:
+        out.append(
+            f"- extended total: **{e0} s -> {e1} s** (**{e1 / e0:.1f}x**)"
+        )
+    if a0 and a1:
+        t0 = round(sum(r["shuffle_write_mb"] for r in s0.values()), 1)
+        t1 = round(sum(r["shuffle_write_mb"] for r in s1.values()), 1)
+        sp = [n for n, r in s1.items() if r.get("spill_mb", 0) > 0]
+        out.append(
+            f"- total shuffle write: **{t0} MB -> {t1} MB** "
+            f"(**{t1 / max(t0, 0.1):.1f}x**)"
+        )
+        out.append(
+            f"- spilled at 10x: **{len(sp)}**"
+            + ("" if not sp else " — " + ", ".join(sp))
+        )
+    out += [
+        f"- flagged super-linear: **{len(flagged)}**"
+        + ("" if not flagged else " — " + ", ".join(r["query"] for r in flagged)),
+        "",
+        "| query | wall sf0.1 s | wall 10x s | wall ratio | shufW sf0.1 MB | shufW 10x MB | shuf ratio | spill 10x MB |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        out.append(
+            f"| {r['query']} | {r['wall_sf01']} | {r['wall_sf1']} "
+            f"| {r['wall_ratio']} | {r['shuffle_sf01_mb']} | {r['shuffle_sf1_mb']} "
+            f"| {r['shuffle_ratio']} | {r['spill_sf1_mb']} |"
+        )
+    with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(
+        f"wrote SCALING.md  (headline {h1 / h0:.1f}x, "
+        f"{len(flagged)} flagged: {[r['query'] for r in flagged]})"
+    )
+
+
+if __name__ == "__main__":
+    main()
