@@ -42,7 +42,12 @@ QUERY_VEC_ID = 0
 N_PLANES = 8
 N_DIMS = 64
 LSH_PROBE_BITS = 1  #: multi-probe radius: also probe buckets 1 bit-flip away
-IVF_CENTROID_MOD = 100  #: vec_id % MOD == 0 -> centroid (deterministic codebook)
+#: vec_id % MOD == 0 -> centroid. Deterministic so the DuckDB oracle can
+#: mirror the codebook; note C = N/MOD grows linearly with the corpus,
+#: so assignment compute is O(N*C) — a fixture-determinism artifact. A
+#: production IVF sizes C ~ sqrt(N) (trained, not modular), which the
+#: same dataflow (broadcast codebook + map-side argmin) serves unchanged.
+IVF_CENTROID_MOD = 100
 IVF_NPROBE = 4  #: cells probed by the IVF search (the standard recall knob)
 
 

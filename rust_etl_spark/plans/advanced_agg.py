@@ -215,7 +215,11 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entity-resolution shape whose cost is bounded by block sizes, never n^2. "
     "(Suffix blocking because TPC-H-ish names share one long prefix; real "
     "deployments run several passes with different block keys to recover "
-    "matches a single key misses.)",
+    "matches a single key misses.) Scale note: per-block pair count grows "
+    "quadratically in block DENSITY, so the block-key cardinality must "
+    "scale with the table — the 10x tier measured 5.5x wall for 10x rows "
+    "with this fixed 3-char suffix; at 10^8+ rows widen the suffix (or "
+    "add a second key) to keep blocks near-constant.",
 )
 def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(

@@ -27,6 +27,35 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALE_FACTOR = 10.0
 WALL_FLAG = 12.0  #: wall ratio above this at 10x rows = super-linear
 SHUFFLE_FLAG = 12.0
+#: a shuffle-ratio flag needs materiality: kilobyte-scale top-k merges
+#: and rollups can grow 20x (fixed per-partition overhead, candidate
+#: sets) while staying irrelevant; only flag when the 10x tier moves
+#: real bytes.
+SHUFFLE_FLOOR_MB = 5.0
+
+#: Investigated flags that are measurement artifacts, not defects: the
+#: note must cite evidence (plan-shape comparison, absolute asymptote).
+#: A flagged query WITHOUT a note is the open re-plan queue.
+FLAG_NOTES = {
+    "q18_large_volume": (
+        "identical plan at both tiers (2 BHJ, 3 Exchange; verified via "
+        "executedPlan); the shuffle is the l_orderkey partial-aggregate "
+        "output, and at sf0.1 a handful of mappers see the key-clustered "
+        "lineitem once each so map-side combine collapses to near the "
+        "key count — an under-counting baseline. The 10x tier's 28 MB "
+        "is 0.24x its input: the linear asymptote."
+    ),
+    "q10_returned_items": (
+        "identical plan at both tiers (3 BHJ, 4 Exchange); same "
+        "partial-agg-efficacy baseline artifact as q18 — 15 MB at 10x "
+        "is ~0.13x input, linear asymptote."
+    ),
+    "events_rolling_distinct": (
+        "identical plan at both tiers (5 Exchange); 8.9 MB at 10x is "
+        "~0.55x the events input — the sliding-window distinct state, "
+        "linear; the 14x ratio comes from a sub-linear sf0.1 baseline."
+    ),
+}
 
 
 def _load(name: str) -> dict | None:
@@ -81,7 +110,11 @@ def main() -> None:
         r
         for r in rows
         if r["wall_ratio"] > WALL_FLAG
-        or (r["shuffle_ratio"] is not None and r["shuffle_ratio"] > SHUFFLE_FLAG)
+        or (
+            r["shuffle_ratio"] is not None
+            and r["shuffle_ratio"] > SHUFFLE_FLAG
+            and (r["shuffle_sf1_mb"] or 0) > SHUFFLE_FLOOR_MB
+        )
         or r["spill_sf1_mb"] > 0
     ]
     h0, h1 = b0["value"], b1["value"]
@@ -95,8 +128,10 @@ def main() -> None:
         "dup-rate flat, fresh noisy embeddings — scripts/gen_scale_tier.py).",
         "Both tiers ran the identical bench (min-of-3, noop sink, local[32])",
         "and scale audit. At 10x rows, near-linear means wall and shuffle",
-        f"ratios <= ~{WALL_FLAG:.0f}x; queries above that (or spilling at the",
-        "10x tier) are flagged as the re-plan queue.",
+        f"ratios <= ~{WALL_FLAG:.0f}x; queries above that (shuffle only when",
+        f"the 10x tier moves > {SHUFFLE_FLOOR_MB:.0f} MB — kilobyte-scale",
+        "top-k merges can grow 20x while staying irrelevant) or spilling",
+        "at the 10x tier are flagged as the re-plan queue.",
         "",
         f"- headline total: **{h0} s -> {h1} s** "
         f"(**{h1 / h0:.1f}x** wall for 10x rows)",
@@ -117,10 +152,21 @@ def main() -> None:
             f"- spilled at 10x: **{len(sp)}**"
             + ("" if not sp else " — " + ", ".join(sp))
         )
+    open_flags = [r for r in flagged if r["query"] not in FLAG_NOTES]
     out += [
         f"- flagged super-linear: **{len(flagged)}**"
         + ("" if not flagged else " — " + ", ".join(r["query"] for r in flagged)),
+        f"- open after investigation: **{len(open_flags)}**"
+        + ("" if not open_flags else " — " + ", ".join(r["query"] for r in open_flags)),
         "",
+    ]
+    noted = [r for r in flagged if r["query"] in FLAG_NOTES]
+    if noted:
+        out += ["## Flag notes (investigated — measurement artifacts, evidence cited)", ""]
+        for r in noted:
+            out.append(f"- `{r['query']}`: {FLAG_NOTES[r['query']]}")
+        out.append("")
+    out += [
         "| query | wall sf0.1 s | wall 10x s | wall ratio | shufW sf0.1 MB | shufW 10x MB | shuf ratio | spill 10x MB |",
         "|---|---|---|---|---|---|---|---|",
     ]
