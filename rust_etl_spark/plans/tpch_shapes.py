@@ -426,9 +426,21 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation aggregates once per (order, supplier) with a late
     flag, once per order for supplier/late counts, then filters —
     identical semantics (a supplier is "waiting" iff it is late and
-    the order's only late supplier among >1 suppliers), but lineitem
-    is shuffled exactly once and everything after operates on the
-    order-grain slice. The supplier dim broadcasts.
+    the order's only late supplier among >1 suppliers). The supplier
+    dim broadcasts.
+
+    Shuffle accounting (measured at the 10x tier, round 6): this is
+    the suite's largest shuffle writer (188 MB, ~1.6x its input)
+    because the (order, supplier) groupBy, the per-order re-aggregate,
+    and the flagged-x-per_order join each re-cluster the lineitem
+    grain — but each exchange carries POST-partial-aggregate rows. The
+    tempting alternative (one up-front ``repartition("l_orderkey")``
+    whose clustering satisfies every downstream requirement) was
+    measured 40% WORSE (267 MB, 4x wall): it shuffles the raw joined
+    rows before any combining, and the repartition exchange is not
+    reused across the self-join branches. Partial-agg exchanges beat
+    one wide exchange here; the 9.8x cross-tier shuffle ratio is
+    linear (SCALING.md).
 
     Adapted to this fixture's columns: no l_commitdate/l_receiptdate
     exist, so "late" is ship-lag (l_shipdate - o_orderdate) beyond a
