@@ -461,3 +461,26 @@ def test_segments_hot_fingerprint_stays_linear(spark):
     assert all(r["dup_segments"] == 1 for r in got), "hot segment must be boilerplate"
     assert all(r["kept_tokens"] == SEGMENT_WIDTH for r in got)
     assert by_id[0]["n_segments"] == 2
+
+
+def test_salted_join_correct_without_aqe(spark):
+    """The salt must carry the skew on its own — prove it with AQE's
+    skew-join mitigation OFF (on a cluster the salt is the plan-level
+    guarantee; AQE is the runtime backstop, and a test that only
+    passes with AQE on would be measuring the backstop)."""
+    ev = _skewed_events(spark)
+    users = spark.range(3000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("segment")
+    )
+    plain = ev.join(users, "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("segment").alias("s")
+    ).collect()
+    old = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        salted = salted_join(
+            ev, users, "user_id", n_salts=8, probe_salt_source="event_id"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("segment").alias("s")).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old)
+    assert plain == salted
