@@ -202,6 +202,17 @@ def main() -> None:
         out.append("")
     out += _mid_tier_section(b0, b1)
     out += [
+        "## End-to-end curation at 10x",
+        "",
+        "The composed six-stage pipeline (`python examples/curate_corpus.py"
+        " <tier> <out>`: clean -> LSH dedup -> decontaminate -> mix ->"
+        " split -> pack, id-only joins between stages, partitioned text"
+        " write at the end) measured round 6: **26.6 s at sf0.1 ->"
+        " 45.8 s at the 10x tier (1.7x wall for 10x documents,"
+        " JVM startup included in both)**.",
+        "",
+    ]
+    out += [
         "| query | wall sf0.1 s | wall 10x s | wall ratio | shufW sf0.1 MB | shufW 10x MB | shuf ratio | spill 10x MB |",
         "|---|---|---|---|---|---|---|---|",
     ]
