@@ -298,3 +298,22 @@ def test_customer_ltv_deciles_has_no_global_window(spark):
     assert "ntile" not in plan
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n\s*\+- Window", plan):
         raise AssertionError(f"single-partition window in plan: {m.group(0)}")
+
+
+def test_no_single_partition_window_anywhere_in_catalog(spark):
+    """Catalog-WIDE lock (round 6): no query may plan an unpartitioned
+    window fed by Exchange SinglePartition — the one shape that
+    funnels an unbounded grain through one task at 100 TB. Round 6
+    removed the last instance (customer_ltv_deciles' global ntile);
+    this keeps the count at zero as the catalog grows. Scalar
+    aggregates may still use SinglePartition (bounded rows); only the
+    SinglePartition->Window shape is banned."""
+    import re
+
+    offenders = []
+    for name, q in catalog.queries().items():
+        df = q(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if re.search(r"Exchange SinglePartition[^\n]*\n\s*\+- Window", plan):
+            offenders.append(name)
+    assert not offenders, f"single-partition windows: {offenders}"
