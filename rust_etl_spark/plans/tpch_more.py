@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_etl_spark.functions.rounding import round_half_up
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
 
@@ -345,8 +346,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
         SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - 0.2 * p_retailprice * l_quantity), 2) AS sum_profit
+               -- exact scaled-integer money (10^-4 dollars): revenue
+               -- cents x discount-pct minus 20% of retail cents x qty;
+               -- the only float ops are the final two IEEE steps, which
+               -- are bit-identical on both engines given the same BIGINT
+               floor((CAST(sum(
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                   - 20 * CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+               ) AS BIGINT) / 10000.0) * 100 + 0.5) / 100 AS sum_profit
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN part     ON l_partkey = p_partkey
@@ -366,8 +375,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The part-name filter is applied to the broadcast part dim, so the
     fact scan only keeps matching partkeys after a broadcast hash
     join — no shuffle grows with the unfiltered fact. Cost uses
-    p_retailprice (partsupp is absent from the fixture); the formula
-    is identical IEEE arithmetic on both engines.
+    p_retailprice (partsupp is absent from the fixture).
+
+    Money is exact scaled-integer arithmetic (cents x discount-pct,
+    the abc_analysis pattern): the 10x-tier parity sweep caught the
+    raw-double form diverging by one cent at a rounding boundary
+    (170286033.175 summing to either side of the half), the failure
+    class CLAUDE.md predicted for round(sum(double)). The only float
+    ops left are two IEEE steps on the same BIGINT — bit-identical.
     """
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
         "p_partkey", "p_retailprice"
@@ -388,13 +403,22 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - 0.2 * F.col("p_retailprice") * F.col("l_quantity")
-                ),
-                2,
-            ).alias("sum_profit")
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+                * (100 - F.expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))
+                - 20
+                * F.expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
+                * F.col("l_quantity").cast("long")
+            )
+            .cast("long")
+            .alias("profit_scaled")
+        )
+        .select(
+            "nation",
+            "o_year",
+            round_half_up(F.col("profit_scaled") / F.lit(10000.0), 2).alias(
+                "sum_profit"
+            ),
         )
         .orderBy("nation", F.col("o_year").desc())
     )
@@ -629,45 +653,65 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                        AS BIGINT) AS rev_scaled
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        SELECT s_suppkey, s_name,
+               floor((rev_scaled / 10000.0) * 100 + 0.5) / 100 AS total_revenue
         FROM supplier
         JOIN revenue ON s_suppkey = supplier_no,
-             (SELECT max(total_revenue) AS mx FROM revenue) m
-        WHERE total_revenue = mx
+             (SELECT max(rev_scaled) AS mx FROM revenue) m
+        WHERE rev_scaled = mx
         ORDER BY s_suppkey
     """,
     doc="TPC-H-Q15-shaped top supplier: the supplier(s) with maximum "
-    "Q1-1996 revenue. The view + scalar MAX becomes one aggregate reused "
-    "for both the per-supplier revenue and the broadcast max row.",
+    "Q1-1996 revenue in EXACT scaled-integer money, so the max and the "
+    "tie set are engine-identical. The view + scalar MAX becomes one "
+    "aggregate reused for both the per-supplier revenue and the "
+    "broadcast max row.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier (TPC-H Q15 topology).
 
     revenue is computed once; the global max is a single-row broadcast
-    joined back (within-engine double equality, portable because both
-    sides derive max from the same aggregate). Supplier dim broadcasts
-    onto the surviving row(s).
+    joined back. Revenue is exact scaled-integer money (cents x
+    discount-pct, the abc_analysis pattern): the 10x-tier parity sweep
+    caught the raw-double form on replica-tied suppliers — each
+    engine's ulp-level summation noise elected a DIFFERENT "unique"
+    winner. With exact integers, genuinely tied suppliers all surface,
+    identically, on both engines. Supplier dim broadcasts onto the
+    surviving row(s).
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        F.sum(
+            F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            * (100 - F.expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))
+        )
+        .cast("long")
+        .alias("rev_scaled")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    mx = revenue.agg(F.max("rev_scaled").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        .filter(F.col("rev_scaled") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias(
+                "total_revenue"
+            ),
+        )
         .orderBy("s_suppkey")
     )
 
