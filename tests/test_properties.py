@@ -340,3 +340,42 @@ def test_lateness_profile_two_level_prefix_matches_naive(spark, ts_list):
             b = "ge_1000s"
         expect[b] += 1
     assert got == dict(expect)
+
+
+def test_q15_exact_money_surfaces_all_tied_winners(spark):
+    """Regression for the 10x-sweep find: with raw double sums, two
+    suppliers whose revenues are GENUINELY equal can land on different
+    ulps per engine, and each engine elects a different 'unique' max
+    winner. The exact scaled-integer form must surface BOTH, with
+    identical rounded revenue."""
+    from datetime import datetime
+
+    from rust_etl_spark.plans.tpch_more import q15_top_supplier
+
+    d = datetime(1996, 2, 1)
+    # suppliers 1 and 2: identical item multisets in a different order
+    # (the summation-order trap); supplier 3: strictly lower revenue
+    items = [(951.13, 0.04), (120.57, 0.0), (33.99, 0.07), (808.08, 0.01)]
+    li_rows = [(1, p, disc, d) for p, disc in items]
+    li_rows += [(2, p, disc, d) for p, disc in reversed(items)]
+    li_rows += [(3, 10.0, 0.0, d)]
+    li = spark.createDataFrame(
+        li_rows, "l_suppkey long, l_extendedprice double, l_discount double, l_shipdate timestamp"
+    )
+    supp = spark.createDataFrame(
+        [(1, "Supplier#1"), (2, "Supplier#2"), (3, "Supplier#3")],
+        "s_suppkey long, s_name string",
+    )
+    tables = {"lineitem": li, "supplier": supp}
+
+    import rust_etl_spark.plans.tpch_more as tm
+
+    orig = tm.load_table
+    tm.load_table = lambda _s, _d, name: tables[name]  # noqa: ARG005
+    try:
+        got = q15_top_supplier(spark, "ignored").collect()
+    finally:
+        tm.load_table = orig
+
+    assert [r["s_suppkey"] for r in got] == [1, 2], got
+    assert got[0]["total_revenue"] == got[1]["total_revenue"] > 0
