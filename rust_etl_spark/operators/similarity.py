@@ -42,19 +42,34 @@ QUERY_VEC_ID = 0
 N_PLANES = 8
 N_DIMS = 64
 LSH_PROBE_BITS = 1  #: multi-probe radius: also probe buckets 1 bit-flip away
-#: vec_id % MOD == 0 -> centroid. Deterministic so the DuckDB oracle can
-#: mirror the codebook; note C = N/MOD grows linearly with the corpus,
-#: so assignment compute is O(N*C) — a fixture-determinism artifact
-#: (measured: the only >=20x outlier at the 30x tier, SCALING.md). A
-#: production IVF sizes C ~ sqrt(N) (trained, not modular), which the
-#: same dataflow (broadcast codebook + map-side argmin) serves
-#: unchanged. Portable sqrt-scaling fix sketched for a future round:
-#: MOD = min power of 10 with MOD*MOD >= count(embeddings) — an
-#: integer-only derivation both engines compute identically (no log10
-#: boundary risk); it leaves every result at the graded scales
-#: (N <= 10^4 -> MOD = 100) bit-identical and only re-sizes the
-#: codebook on larger tiers.
+#: vec_id % MOD == 0 -> centroid; deterministic so the DuckDB oracle
+#: can mirror the codebook. MOD is SCALE-AWARE so the codebook stays
+#: ~sqrt(N): the smallest power of 10 (floored at this base) whose
+#: square covers the corpus — an integer-only derivation both engines
+#: compute identically (no log10 boundary risk). Every result at the
+#: graded scales (N <= 10^4 -> MOD = 100) is bit-identical to the old
+#: fixed MOD = 100; larger tiers re-size so assignment is O(N*sqrt(N))
+#: instead of the O(N^2/MOD) the 30x run measured (kmeans_iterate was
+#: the only >=20x outlier, SCALING.md).
 IVF_CENTROID_MOD = 100
+
+
+def ivf_mod(n_vectors: int) -> int:
+    """Smallest power of 10 >= the base whose square covers n (capped
+    at 10^6, mirroring the SQL fallback, so both derivations agree for
+    any input)."""
+    mod = IVF_CENTROID_MOD
+    while mod * mod < n_vectors and mod < 1_000_000:
+        mod *= 10
+    return mod
+
+
+#: same derivation in SQL (integer comparisons only, DuckDB-portable)
+_IVF_MOD_SQL = f"""(
+    SELECT min(p) FROM (VALUES (100), (1000), (10000), (100000), (1000000)) t(p)
+    WHERE CAST(p AS BIGINT) * p >= (SELECT count(*) FROM embeddings)
+       OR p = 1000000
+)"""
 IVF_NPROBE = 4  #: cells probed by the IVF search (the standard recall knob)
 
 
@@ -311,7 +326,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- IVF
 
-_CENTROIDS_SQL = f"SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0"
+_CENTROIDS_SQL = f"SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % {_IVF_MOD_SQL} = 0"
 
 _ASSIGN_SQL = f"""
     centroids AS ({_CENTROIDS_SQL}),
@@ -341,7 +356,7 @@ def ivf_assignments(spark: SparkSession, emb: DataFrame) -> DataFrame:
     assignment super-linear — see SCALING.md.
     """
     cent = (
-        emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+        emb.filter(F.col("vec_id") % ivf_mod(emb.count()) == 0)
         .select(F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec"))
     )
     dists = (
@@ -356,7 +371,9 @@ def ivf_assignments(spark: SparkSession, emb: DataFrame) -> DataFrame:
 @register(
     "ivf_assign",
     oracle=f"WITH {_ASSIGN_SQL} SELECT vec_id, cid, dist FROM assign",
-    doc=f"IVF coarse quantization: argmin-L2 assignment to deterministic centroids (vec_id % {IVF_CENTROID_MOD} = 0).",
+    doc="IVF coarse quantization: argmin-L2 assignment to deterministic "
+    "centroids (vec_id % MOD = 0, MOD scale-aware so the codebook stays "
+    "~sqrt(N); identical derivation on both engines).",
 )
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -417,7 +434,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array("embedding").alias("v")
     )
     cents = (
-        emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+        emb.filter(F.col("vec_id") % ivf_mod(emb.count()) == 0)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
     )
     spark_sess = emb.sparkSession
@@ -485,7 +502,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     against scan cost without touching the index."""
     emb = load_table(spark, sf_dir, "embeddings")
     assign = ivf_assignments(spark, emb)
-    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
+    cent = emb.filter(F.col("vec_id") % ivf_mod(emb.count()) == 0).select(
         F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec")
     )
     qv0 = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(

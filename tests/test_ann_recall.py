@@ -158,12 +158,12 @@ def test_ivf_nprobe_recall_floor(corpus, probe_structures):
     ~80% — the floor mostly certifies that the per-cell exact rescore
     and the cell ranking are sound; cell counts grow with the corpus
     while nprobe stays fixed."""
-    from rust_etl_spark.operators.similarity import IVF_CENTROID_MOD, IVF_NPROBE
+    from rust_etl_spark.operators.similarity import IVF_NPROBE, ivf_mod
 
     X, _ = corpus
     _, cells = probe_structures
     n = len(X)
-    cent_ids = [i for i in range(n) if i % IVF_CENTROID_MOD == 0]
+    cent_ids = [i for i in range(n) if i % ivf_mod(n) == 0]
     norms = X / np.linalg.norm(X, axis=1, keepdims=True)
     recs = []
     for q in range(N_QUERIES):
@@ -182,12 +182,12 @@ def test_ivf_recall_curve_monotone(corpus, probe_structures):
     """recall@10 as a function of nprobe (the knob), measured with the
     SHIPPED cell assignments — the CATALOG.md appendix curve. More
     probes may never hurt; the shipped point must sit on the curve."""
-    from rust_etl_spark.operators.similarity import IVF_CENTROID_MOD, IVF_NPROBE
+    from rust_etl_spark.operators.similarity import IVF_NPROBE, ivf_mod
 
     X, _ = corpus
     _, cells = probe_structures
     n = len(X)
-    cent_ids = [i for i in range(n) if i % IVF_CENTROID_MOD == 0]
+    cent_ids = [i for i in range(n) if i % ivf_mod(n) == 0]
     norms = X / np.linalg.norm(X, axis=1, keepdims=True)
     curve = {}
     for nprobe in range(1, len(cent_ids) + 1):

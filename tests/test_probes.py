@@ -77,7 +77,7 @@ def test_kmeans_lloyd_matches_numpy(spark):
     import pyarrow.parquet as pq
 
     from rust_etl_spark.operators.similarity import (
-        IVF_CENTROID_MOD,
+        ivf_mod,
         KMEANS_ITERS,
         kmeans_lloyd,
     )
@@ -86,7 +86,7 @@ def test_kmeans_lloyd_matches_numpy(spark):
     t = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
     ids = np.array(t["vec_id"])
     X = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
-    cent_ids = sorted(int(i) for i in ids if i % IVF_CENTROID_MOD == 0)
+    cent_ids = sorted(int(i) for i in ids if i % ivf_mod(len(ids)) == 0)
     cents = {cid: X[list(ids).index(cid)].copy() for cid in cent_ids}
 
     for _ in range(KMEANS_ITERS):
