@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from rust_etl_spark.functions.hashing import md5_long60_sql
 from rust_etl_spark.functions.vectors import cosine, cosine_sql, l2sq, l2sq_sql, to_double_array
 from rust_etl_spark.plans.catalog import register
-from rust_etl_spark.sources import load_table
+from rust_etl_spark.sources import load_table, table_rows
 
 TOPK = 10
 QUERY_VEC_ID = 0
@@ -343,7 +343,7 @@ _ASSIGN_SQL = f"""
 """
 
 
-def ivf_assignments(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def ivf_assignments(spark: SparkSession, emb: DataFrame, mod: int | None = None) -> DataFrame:
     """(vec_id, cid, dist): nearest deterministic centroid per vector.
 
     The argmin is a map-side-combinable ``min(struct(dist, cid))``
@@ -354,9 +354,15 @@ def ivf_assignments(spark: SparkSession, emb: DataFrame) -> DataFrame:
     window form shuffling the full N x C cross product (C grows with
     the corpus under the deterministic mod rule), which made
     assignment super-linear — see SCALING.md.
+
+    Pass ``mod`` when the caller already derived it: ivf_mod needs a
+    full count() job, and a caller that also sizes its own centroid
+    set (similarity_ann_ivf) would otherwise scan the table twice.
     """
+    if mod is None:
+        mod = ivf_mod(emb.count())
     cent = (
-        emb.filter(F.col("vec_id") % ivf_mod(emb.count()) == 0)
+        emb.filter(F.col("vec_id") % mod == 0)
         .select(F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec"))
     )
     dists = (
@@ -377,7 +383,7 @@ def ivf_assignments(spark: SparkSession, emb: DataFrame) -> DataFrame:
 )
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_assignments(spark, emb)
+    return ivf_assignments(spark, emb, ivf_mod(table_rows(spark, sf_dir, "embeddings")))
 
 
 @register(
@@ -400,7 +406,8 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = ivf_assignments(spark, emb).select("vec_id", "cid")
+    mod = ivf_mod(table_rows(spark, sf_dir, "embeddings"))
+    assign = ivf_assignments(spark, emb, mod).select("vec_id", "cid")
     comp = assign.join(emb, "vec_id").select(
         "cid", F.posexplode(to_double_array("embedding")).alias("d", "x")
     )
@@ -434,7 +441,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array("embedding").alias("v")
     )
     cents = (
-        emb.filter(F.col("vec_id") % ivf_mod(emb.count()) == 0)
+        emb.filter(F.col("vec_id") % ivf_mod(table_rows(spark, sf_dir, "embeddings")) == 0)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
     )
     spark_sess = emb.sparkSession
@@ -501,8 +508,9 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is nprobe/n_cells of the corpus; nprobe trades recall
     against scan cost without touching the index."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = ivf_assignments(spark, emb)
-    cent = emb.filter(F.col("vec_id") % ivf_mod(emb.count()) == 0).select(
+    mod = ivf_mod(table_rows(spark, sf_dir, "embeddings"))  # one memoized count
+    assign = ivf_assignments(spark, emb, mod)
+    cent = emb.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec")
     )
     qv0 = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(

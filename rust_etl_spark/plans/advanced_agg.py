@@ -199,14 +199,45 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fuzzy_blocked_match block-key sizing: per-suffix expected density is
+#: N / 10^L, so the smallest L with 10^L * FUZZY_BLOCK_DENSITY >= N keeps
+#: block sizes bounded by the same constant at every tier (L=3 at all
+#: graded scales — bit-identical to the historical fixed 3-char key; the
+#: 10x/30x gen tiers step to L=4, holding per-suffix density at ~15/45
+#: instead of the 150/450 the fixed key would densify to).
+FUZZY_BLOCK_DENSITY = 100
+_FUZZY_MAX_LEN = 6
+
+
+def fuzzy_block_len(n_rows: int) -> int:
+    """Smallest suffix length L in [3, 6] with 10^L * 100 >= n_rows —
+    the same integer-only scale-aware derivation as similarity.ivf_mod
+    (no log10 boundary risk; both engines compute it identically)."""
+    ln = 3
+    while (10**ln) * FUZZY_BLOCK_DENSITY < n_rows and ln < _FUZZY_MAX_LEN:
+        ln += 1
+    return ln
+
+
+#: same derivation in SQL (integer comparisons only, DuckDB-portable):
+#: min L from the candidate lengths whose 10^L * 100 covers the table.
+_FUZZY_BLK_SQL = f"""(
+    SELECT min(l) FROM (VALUES (3, 1000), (4, 10000), (5, 100000), (6, 1000000)) t(l, p)
+    WHERE CAST(p AS BIGINT) * {FUZZY_BLOCK_DENSITY} >= (SELECT count(*) FROM customer)
+       OR l = {_FUZZY_MAX_LEN}
+)"""
+
+
 @register(
     "fuzzy_blocked_match",
-    oracle="""
+    oracle=f"""
+        WITH blk AS (SELECT {_FUZZY_BLK_SQL} AS n)
         SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey
-         AND substring(a.c_name, length(a.c_name) - 2, 3) = substring(b.c_name, length(b.c_name) - 2, 3)
+         AND substring(a.c_name, length(a.c_name) - (SELECT n FROM blk) + 1, (SELECT n FROM blk))
+           = substring(b.c_name, length(b.c_name) - (SELECT n FROM blk) + 1, (SELECT n FROM blk))
          AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 3
     """,
@@ -215,18 +246,22 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entity-resolution shape whose cost is bounded by block sizes, never n^2. "
     "(Suffix blocking because TPC-H-ish names share one long prefix; real "
     "deployments run several passes with different block keys to recover "
-    "matches a single key misses.) Scale note: per-block pair count grows "
-    "quadratically in block DENSITY, so the block-key cardinality must "
-    "scale with the table — the 10x tier measured 5.5x wall for 10x rows "
-    "with this fixed 3-char suffix; at 10^8+ rows widen the suffix (or "
-    "add a second key) to keep blocks near-constant.",
+    "matches a single key misses.) The suffix length is SCALE-AWARE: "
+    "fuzzy_block_len picks the smallest L whose 10^L digit-suffix key space "
+    "bounds expected per-suffix density at 100 rows (integer-only, mirrored "
+    "by a scalar subquery in the oracle) — the fixed 3-char key densified "
+    "linearly with the corpus, making within-block pair generation "
+    "quadratic (5.6x wall at 10x rows, SCALING.md round 6).",
 )
 def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_etl_spark.sources import table_rows
+
+    ln = fuzzy_block_len(table_rows(spark, sf_dir, "customer"))
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.expr("substring(c_name, length(c_name) - 2, 3)").alias("blk"),
+        F.expr(f"substring(c_name, length(c_name) - {ln - 1}, {ln})").alias("blk"),
     )
     a = cust.select(
         F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"), "c_nationkey", "blk"

@@ -416,6 +416,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation",
             "o_year",
+            # profit can be negative (20% retail cost can exceed discounted
+            # revenue); round_half_up rounds an exact negative half-cent
+            # toward +inf (floor(x+0.5)), not half-away-from-zero. Both
+            # engines run the identical IEEE steps on the same BIGINT, so
+            # parity is exact; the half-toward-+inf tie rule for signed
+            # money is intentional and cheaper than a sign-symmetric form.
             round_half_up(F.col("profit_scaled") / F.lit(10000.0), 2).alias(
                 "sum_profit"
             ),

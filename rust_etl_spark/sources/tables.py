@@ -81,6 +81,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (abspath(sf_dir), table) -> rows. Fixture tables are immutable, so a
+#: per-process memo is safe; scale-aware plan sizing (similarity.ivf_mod,
+#: advanced_agg.fuzzy_block_len) needs a row count at every plan build
+#: and would otherwise re-run the count job on each of bench.py's
+#: min-of-3 executions.
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized row count of one fixture table (one count job per
+    (tier, table) per process — a metadata-cheap zero-column scan)."""
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _ROW_COUNT_CACHE:
+        _ROW_COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _ROW_COUNT_CACHE[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:

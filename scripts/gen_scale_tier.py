@@ -76,9 +76,10 @@ def _replicate_keyed(name: str, extra_offsets: dict[str, int], replicas: int) ->
     #: fuzzy_blocked_match) see an artificial 100x pair blow-up that the
     #: first scaling run mistook for engine super-linearity.
     name_fmt = {"customer": ("c_name", "Customer#"), "supplier": ("s_name", "Supplier#")}
+    base = src.to_pandas()  # one Arrow->pandas conversion, copied per replica
     chunks = []
     for r in range(replicas):
-        df = src.to_pandas()
+        df = base.copy()
         if pk is not None:
             df[pk] = df[pk] + r * span
         for col, sp in extra_offsets.items():
