@@ -117,6 +117,25 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibration() -> float:
+    """Fixed-work single-thread CPU anchor (min-of-3 of a constant
+    sha256 chain, ~0.9 s on the round-7 sandbox). Cross-round wall
+    ratios divide out environment drift with this: round 7's uniform
+    1.23x headline slowdown on byte-identical code would otherwise
+    read as a regression forever (VERDICT r7). Compare
+    value / calibration_sec across rounds, not raw value."""
+    import hashlib
+
+    runs = []
+    for _ in range(3):
+        buf = b"\x00" * 65536
+        t0 = time.perf_counter()
+        for _ in range(20_000):
+            buf = hashlib.sha256(buf).digest() * 2048
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -151,6 +170,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": _calibration(),
         "extended_total": round(sum(extended.values()), 3),
         "queries": timings,
         "variance": variance,
@@ -180,6 +200,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": record["sf"],
+                "calibration_sec": record["calibration_sec"],
                 "extended_total": record["extended_total"],
                 "queries": timings,
                 "variance": variance,

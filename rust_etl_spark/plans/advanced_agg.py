@@ -221,8 +221,12 @@ def fuzzy_block_len(n_rows: int) -> int:
 
 #: same derivation in SQL (integer comparisons only, DuckDB-portable):
 #: min L from the candidate lengths whose 10^L * 100 covers the table.
+#: The VALUES rows are GENERATED from the same constants fuzzy_block_len
+#: uses, so the Python and SQL derivations cannot desync (boundary
+#: equality is pinned in tests/test_fuzzy_block_len.py).
+_FUZZY_BLK_VALUES = ", ".join(f"({length}, {10**length})" for length in range(3, _FUZZY_MAX_LEN + 1))
 _FUZZY_BLK_SQL = f"""(
-    SELECT min(l) FROM (VALUES (3, 1000), (4, 10000), (5, 100000), (6, 1000000)) t(l, p)
+    SELECT min(l) FROM (VALUES {_FUZZY_BLK_VALUES}) t(l, p)
     WHERE CAST(p AS BIGINT) * {FUZZY_BLOCK_DENSITY} >= (SELECT count(*) FROM customer)
        OR l = {_FUZZY_MAX_LEN}
 )"""
@@ -231,10 +235,14 @@ _FUZZY_BLK_SQL = f"""(
 @register(
     "fuzzy_blocked_match",
     oracle=f"""
-        WITH blk AS (SELECT {_FUZZY_BLK_SQL} AS n)
+        WITH blk AS (SELECT {_FUZZY_BLK_SQL} AS n),
+        c AS (
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE length(c_name) >= (SELECT n FROM blk)
+        )
         SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        FROM customer a JOIN customer b
+        FROM c a JOIN c b
           ON a.c_nationkey = b.c_nationkey
          AND substring(a.c_name, length(a.c_name) - (SELECT n FROM blk) + 1, (SELECT n FROM blk))
            = substring(b.c_name, length(b.c_name) - (SELECT n FROM blk) + 1, (SELECT n FROM blk))
@@ -257,11 +265,21 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_etl_spark.sources import table_rows
 
     ln = fuzzy_block_len(table_rows(spark, sf_dir, "customer"))
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        F.expr(f"substring(c_name, length(c_name) - {ln - 1}, {ln})").alias("blk"),
+    # Names shorter than the suffix length are excluded on BOTH sides:
+    # Spark clamps nonpositive substring starts toward position 1 while
+    # DuckDB follows Postgres-style trimming, so a short name would
+    # yield engine-divergent block keys. Fixture names always carry a
+    # 9-digit zero-filled suffix; the guard makes the precondition
+    # explicit instead of incidental.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.length("c_name") >= ln)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.expr(f"substring(c_name, length(c_name) - {ln - 1}, {ln})").alias("blk"),
+        )
     )
     a = cust.select(
         F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"), "c_nationkey", "blk"

@@ -81,18 +81,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: (abspath(sf_dir), table) -> rows. Fixture tables are immutable, so a
-#: per-process memo is safe; scale-aware plan sizing (similarity.ivf_mod,
+#: (abspath(sf_dir), table, mtime_ns) -> rows. Fixture tables are
+#: immutable in the normal workflow, so a per-process memo is safe;
+#: scale-aware plan sizing (similarity.ivf_mod,
 #: advanced_agg.fuzzy_block_len) needs a row count at every plan build
 #: and would otherwise re-run the count job on each of bench.py's
-#: min-of-3 executions.
-_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+#: min-of-3 executions. The path mtime in the key invalidates the memo
+#: if a fixture dir IS regenerated in-process (e.g. a script that
+#: builds a gen tier and then benches it) — stale counts would
+#: otherwise silently mis-size block keys and centroid counts.
+_ROW_COUNT_CACHE: dict[tuple[str, str, int], int] = {}
 
 
 def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Memoized row count of one fixture table (one count job per
-    (tier, table) per process — a metadata-cheap zero-column scan)."""
-    key = (os.path.abspath(sf_dir), name)
+    (tier, table, fixture-mtime) per process — a metadata-cheap
+    zero-column scan)."""
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        mtime_ns = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime_ns = 0  # let the Spark read raise the real error
+    key = (os.path.abspath(sf_dir), name, mtime_ns)
     if key not in _ROW_COUNT_CACHE:
         _ROW_COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
     return _ROW_COUNT_CACHE[key]
