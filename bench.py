@@ -162,7 +162,13 @@ def main() -> None:
         return timings, spreads
 
     timings, variance = run_set(HEADLINE)
-    extended, variance_ext = run_set(EXTENDED)
+    # headline-only mode for very large tiers (e.g. the 100x gen tier)
+    # where the 44-query extended set would dominate wall for no extra
+    # curve information.
+    if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
+        extended, variance_ext = {}, {}
+    else:
+        extended, variance_ext = run_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     record = {

@@ -1504,9 +1504,25 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- lateness profile
 
-#: Two-level prefix-max block width: event_id div LATE_BLOCK groups
-#: ~1000 arrivals per block so no window ever spans the full stream.
-LATE_BLOCK = 1000
+#: Two-level prefix-max block width, SCALE-AWARE (round 8: the fixed
+#: 1000-wide block left the block-domain prefix window growing N/1000 —
+#: corpus-linear — which the corrected single-partition-window lock
+#: caught). The smallest power of 10 whose square covers the stream
+#: balances the split: ~sqrt(N) blocks of ~sqrt(N) rows each, so BOTH
+#: window stages stay one-task-feasible at any achievable N (10^6-row
+#: stages at a trillion events). Same integer-only derivation as
+#: similarity.ivf_mod / advanced_agg.fuzzy_block_len; the decomposition
+#: is exact for any width, so results are identical at every tier and
+#: the oracle (which states the naive running max) needs no mirror.
+LATE_BLOCK = 1000  #: floor (also the exact width at all graded tiers)
+
+
+def late_block(n_rows: int) -> int:
+    """Smallest power of 10 >= LATE_BLOCK whose square covers n_rows."""
+    w = LATE_BLOCK
+    while w * w < n_rows and w < 1_000_000_000:
+        w *= 10
+    return w
 
 _LATE_BUCKETS = (
     ("on_time", "lat_ms = 0", 0),
@@ -1544,22 +1560,28 @@ _LATE_ORD = "CASE " + " ".join(
     "arrives, bucketed in decades of milliseconds — THE statistic that "
     "sizes a Structured Streaming watermark (pick the bucket covering "
     "your completeness target). Spark computes the running max with a "
-    "two-level prefix (per-1000-arrival block maxima, then a block-"
-    "domain scan), so no window spans the raw stream.",
+    "two-level prefix (per-block maxima at the scale-aware sqrt(N) "
+    "block width, then a block-domain scan), so no window stage ever "
+    "exceeds ~sqrt(N) rows.",
 )
 def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark sizing via distributed running max.
 
     The oracle states the naive unbounded running max; the Spark plan
-    decomposes it: (1) per-block max (block = event_id div 1000, a
-    map-side-combinable groupBy), (2) exclusive prefix max across the
-    tiny block domain, (3) in-block running max + the carried prefix.
-    Same decomposition as window_range_frame's two-level prefix sum —
-    the general recipe for turning any unbounded ordered aggregate
-    into bounded-state stages.
+    decomposes it: (1) per-block max (block = event_id div late_block(N),
+    a map-side-combinable groupBy), (2) exclusive prefix max across the
+    ~sqrt(N)-sized block domain, (3) in-block running max + the carried
+    prefix. Same decomposition as window_range_frame's two-level prefix
+    sum — the general recipe for turning any unbounded ordered
+    aggregate into bounded-state stages. Stage (2) is a single-partition
+    window by design, allowlisted in tests/test_plans.py with its
+    sqrt(N) grain bound (one task over ~10^6 tiny rows at 10^12 events).
     """
+    from rust_etl_spark.sources import table_rows
+
+    blk_w = late_block(table_rows(spark, sf_dir, "events"))
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ns")
-    ev = ev.withColumn("blk", F.expr(f"event_id div {LATE_BLOCK}"))
+    ev = ev.withColumn("blk", F.expr(f"event_id div {blk_w}"))
     blk_max = ev.groupBy("blk").agg(F.max("ts_ns").alias("blk_max"))
     w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
     prefix = blk_max.select(

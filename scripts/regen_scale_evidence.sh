@@ -1,0 +1,36 @@
+#!/bin/bash
+# Regenerate the complete scale-evidence chain on SHIPPED code
+# (VERDICT r7 #1): benches at all four tiers, scale audits at all four
+# tiers, streaming + curation measurements, then SCALING.md.
+# Run serially on a quiet machine (~60-90 min).
+set -e
+cd "$(dirname "$0")/.."
+
+echo "=== bench sf0.1 ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py && cp BENCH_LOCAL.json BENCH_sf0.1.json
+echo "=== bench gen_sf0.3 ==="
+SPARK_GRAFT_SF_DIR=/root/repo/gen_sf0.3 python bench.py && cp BENCH_LOCAL.json BENCH_gen_sf0.3.json
+echo "=== bench gen_sf1 ==="
+SPARK_GRAFT_SF_DIR=/root/repo/gen_sf1 python bench.py && cp BENCH_LOCAL.json BENCH_gen_sf1.json
+echo "=== bench gen_sf3 ==="
+SPARK_GRAFT_SF_DIR=/root/repo/gen_sf3 python bench.py && cp BENCH_LOCAL.json BENCH_gen_sf3.json
+# restore the default-tier BENCH_LOCAL.json (sf0.1 is the committed one)
+cp BENCH_sf0.1.json BENCH_LOCAL.json
+
+echo "=== scale_audit sf0.1 ==="
+python scripts/scale_audit.py
+echo "=== scale_audit gen_sf0.3 ==="
+SPARK_GRAFT_SF_DIR=/root/repo/gen_sf0.3 python scripts/scale_audit.py
+echo "=== scale_audit gen_sf1 ==="
+SPARK_GRAFT_SF_DIR=/root/repo/gen_sf1 python scripts/scale_audit.py
+echo "=== scale_audit gen_sf3 ==="
+SPARK_GRAFT_SF_DIR=/root/repo/gen_sf3 python scripts/scale_audit.py
+
+echo "=== stream_bench ==="
+python scripts/stream_bench.py
+echo "=== curation_bench ==="
+python scripts/curation_bench.py
+
+echo "=== scaling_report ==="
+python scripts/scaling_report.py
+echo "=== DONE ==="

@@ -19,8 +19,10 @@ cd "$(dirname "$0")/.."
 echo "== 1/4 driver-sim (vanilla session, sf0.01) =="
 python scripts/driver_sim.py
 
-echo "== 2/4 oracle parity sweep at sf0.1 =="
-SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_oracle_parity.py -q
+echo "== 2/4 oracle parity sweep + tier ANN recall at sf0.1 =="
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest \
+    tests/test_oracle_parity.py "tests/test_ann_recall.py::test_tier_ivf_recall_curve" \
+    "tests/test_ann_recall.py::test_tier_pq_rerank_recall_curve" -q
 
 echo "== 3/4 full test suite =="
 python -m pytest tests/ -q

@@ -17,6 +17,8 @@ these worst-case numbers.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
@@ -241,3 +243,72 @@ def test_lsh_recall_curve_by_probe_radius(corpus, probe_structures):
     (r0, f0), (r1, f1) = curve[0], curve[1]
     assert r1 >= r0 and f1 > f0
     assert r1 >= 2 * f1, "probe set must stay informative vs random"
+
+
+# ------------------------------------------------- tier-gated recall
+# (VERDICT r6 #3 / r7 #3): the sqrt(N) IVF codebook decade-jumps MOD
+# with corpus size, so recall where the cell count/size actually
+# changes must be MEASURED, not asserted by construction. These run at
+# whatever tier SPARK_GRAFT_TEST_SF_DIR points to (the sf0.1 parity
+# sweep exercises the 20-cell codebook; point it at gen_sf1 for the
+# post-decade-jump 10x tier, MOD=1000) and are skipped at the sf0.001
+# default where the module-level tests already cover the 5-cell case.
+
+TIER_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "")
+_TIER_GATE = pytest.mark.skipif(
+    not TIER_SF or TIER_SF.rstrip("/").endswith("sf0.001"),
+    reason="tier recall runs under SPARK_GRAFT_TEST_SF_DIR at >= sf0.1",
+)
+
+
+@_TIER_GATE
+def test_tier_ivf_recall_curve(spark):
+    """IVF recall@10 vs nprobe at the gated tier, shipped cells, exact
+    ground truth over the full corpus (sampled queries): monotone,
+    exact when all cells probed, informative vs random scanning, and
+    floored at the shipped nprobe."""
+    from scripts.ann_recall_tier import ivf_recall_curve, load_corpus
+    from rust_etl_spark.operators.similarity import IVF_NPROBE
+
+    X = load_corpus(TIER_SF)
+    curve, n_cells = ivf_recall_curve(
+        spark, TIER_SF, X, [1, 2, IVF_NPROBE, 8, 16]
+    )
+    print("TIER_IVF_RECALL", TIER_SF, "cells", n_cells, curve)
+    vals = [curve[p] for p in sorted(curve)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), curve
+    if 16 >= n_cells:
+        assert curve[16] == 1.0, "all cells probed == exact scan"
+    # informativeness: the probed fraction of an isotropic corpus is
+    # ~nprobe/n_cells; recall must beat random scanning clearly.
+    scanned = IVF_NPROBE / n_cells
+    assert curve[IVF_NPROBE] >= 1.3 * scanned, (curve, n_cells)
+    # measured floor (round 8, noise margin left): sf0.1 measured
+    # 0.448 (20 cells, nprobe4 = 20% scanned — 2.2x random on the
+    # isotropic fixture) and gen_sf1 0.642 (20 cells of 1000 after the
+    # MOD 100->1000 decade jump; the gen tier's replica-sibling
+    # clusters make locality EASIER there, see ANN_RECALL_gen_sf1.json).
+    assert curve[IVF_NPROBE] >= 0.35, curve
+
+
+@_TIER_GATE
+def test_tier_pq_rerank_recall_curve(spark):
+    """Two-stage PQ recall@10 vs ADC shortlist at the gated tier,
+    shipped codes: monotone-growing and floored at the shipped
+    shortlist."""
+    from scripts.ann_recall_tier import pq_recall_curve, load_corpus
+
+    X = load_corpus(TIER_SF)
+    curve = pq_recall_curve(spark, TIER_SF, X, [10, PQ_SHORTLIST, 100, 200])
+    print("TIER_PQ_RECALL", TIER_SF, curve)
+    vals = [curve[s] for s in sorted(curve)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), curve
+    assert curve[200] >= curve[10] + 0.1, f"ADC ordering uninformative: {curve}"
+    # measured floor (round 8): sf0.1 0.340, gen_sf1 0.532 at shortlist
+    # 50. The FIXED shortlist over a growing corpus shrinks the
+    # shortlisted fraction linearly (50/2000 = 2.5% -> 50/20000 =
+    # 0.25%), so recall-per-scanned-fraction RISES 13x -> 200x+ over
+    # random — the ADC ordering stays sharply informative; scale the
+    # shortlist with N to hold absolute recall (CATALOG.md documents
+    # the knob). Floor is conservative for isotropic worst-case tiers.
+    assert curve[PQ_SHORTLIST] >= 0.15, curve

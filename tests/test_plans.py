@@ -16,6 +16,30 @@ def _formatted_plan(spark, name: str) -> str:
     )
 
 
+def _executed_plan(spark, name: str) -> str:
+    return catalog.get(name).fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+#: The REAL single-partition-window shape in executedPlan().toString():
+#: a Window whose child (optionally through a Sort, either codegen'd)
+#: is Exchange SinglePartition. NOTE the direction — the round-6 lock
+#: matched "Exchange SinglePartition\n+- Window" (an Exchange whose
+#: CHILD is a Window), which can never occur for this defect, so that
+#: lock was vacuous; round 8 verified the corrected pattern fires on a
+#: deliberately global row_number() plan.
+_SP_WINDOW_RE = (
+    r"Window[^\n]*\n\s*[+:]- (?:\*\(\d+\) )?"
+    r"(?:Sort[^\n]*\n\s*[+:]- (?:\*\(\d+\) )?)?"
+    r"Exchange SinglePartition"
+)
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    import re
+
+    return [m.group(0).splitlines()[0] for m in re.finditer(_SP_WINDOW_RE, plan)]
+
+
 def test_projection_prunes_columns(spark):
     plan = _formatted_plan(spark, "scan_project")
     assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint" in plan
@@ -121,16 +145,9 @@ def test_window_range_frame_has_no_global_window(spark):
     """The RANGE-frame window is a two-level prefix sum partitioned by
     value bucket (round-2 re-plan): a window with an empty partition
     spec would move the whole table into one task."""
-    plan = _formatted_plan(spark, "window_range_frame")
-    # Every windowspecdefinition must carry a partition column; the
-    # global form renders as 'windowspecdefinition(v ASC...' with no
-    # leading partition expression list before the sort spec. Cheap
-    # proxy: the physical plan must not contain SinglePartition feeding
-    # a Window node (scalar aggregates may still use SinglePartition).
-    import re
-
-    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n\s*\+- Window", plan):
-        raise AssertionError(f"single-partition window in plan: {m.group(0)}")
+    plan = _executed_plan(spark, "window_range_frame")
+    offenders = _single_partition_windows(plan)
+    assert not offenders, f"single-partition window in plan: {offenders}"
 
 
 def test_q4_exists_is_semi_join(spark):
@@ -292,28 +309,71 @@ def test_customer_ltv_deciles_has_no_global_window(spark):
     integer ntile arithmetic (house pattern, same as gini/abc) — no
     global ntile, and no single-partition window may touch the
     customer grain."""
-    import re
-
     plan = _formatted_plan(spark, "customer_ltv_deciles")
     assert "ntile" not in plan
-    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n\s*\+- Window", plan):
-        raise AssertionError(f"single-partition window in plan: {m.group(0)}")
+    offenders = _single_partition_windows(_executed_plan(spark, "customer_ltv_deciles"))
+    assert not offenders, f"single-partition window in plan: {offenders}"
+
+
+#: Queries whose plans contain a single-partition window over a
+#: SUB-LINEAR, ONE-TASK-FEASIBLE GRAIN — a pre-aggregated table whose
+#: row count is corpus-size-independent (price buckets), time-domain
+#: (days), or ~sqrt(N) (scale-aware blocks) — like a scalar
+#: aggregate's SinglePartition. Each entry records the grain bound;
+#: anything NOT listed here that plans a single-partition window fails
+#: the catalog-wide lock. A corpus-LINEAR unpartitioned window must
+#: instead use the house two-level prefix-sum / broadcast-triangular
+#: patterns (window_range_frame).
+BOUNDED_GRAIN_SP_WINDOW_OK = {
+    "skyline_pareto": "two windows on pre-aggregated grains: ~20 price "
+    "buckets (phase 1) and distinct prices of the phase-1 skyline "
+    "survivors (prune ratio pinned in test_layout.py) — both "
+    "corpus-size-independent",
+    "events_spike_detect": "rolling baseline over DAILY totals (time-"
+    "domain grain: grows with the calendar horizon, not the event rate)",
+    "events_cumulative_users": "running sum over distinct days (same "
+    "time-domain grain)",
+    "events_lateness_profile": "exclusive prefix max over event-id "
+    "blocks at the SCALE-AWARE sqrt(N) block width (late_block — round "
+    "8 fix: the fixed 1000-wide block grew this window N/1000 = "
+    "corpus-linear); ~10^6 tiny rows in one task at a trillion events",
+}
 
 
 def test_no_single_partition_window_anywhere_in_catalog(spark):
-    """Catalog-WIDE lock (round 6): no query may plan an unpartitioned
-    window fed by Exchange SinglePartition — the one shape that
-    funnels an unbounded grain through one task at 100 TB. Round 6
-    removed the last instance (customer_ltv_deciles' global ntile);
-    this keeps the count at zero as the catalog grows. Scalar
-    aggregates may still use SinglePartition (bounded rows); only the
-    SinglePartition->Window shape is banned."""
-    import re
-
-    offenders = []
+    """Catalog-WIDE lock: no query may plan a Window fed (optionally
+    through a Sort) by Exchange SinglePartition over an UNBOUNDED
+    grain. Round 8 fixed the round-6 detector (its regex matched the
+    child relationship inverted, so it could never fire) and split the
+    survivors into an explicit bounded-grain allowlist, each entry
+    recording WHY its window input is corpus-size-independent."""
+    offenders = {}
     for name, q in catalog.queries().items():
         df = q(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if re.search(r"Exchange SinglePartition[^\n]*\n\s*\+- Window", plan):
-            offenders.append(name)
-    assert not offenders, f"single-partition windows: {offenders}"
+        hits = _single_partition_windows(plan)
+        if hits:
+            offenders[name] = hits
+    unlisted = {n: h for n, h in offenders.items() if n not in BOUNDED_GRAIN_SP_WINDOW_OK}
+    assert not unlisted, f"UNBOUNDED single-partition windows: {unlisted}"
+    # keep the allowlist honest: every listed query must still plan the
+    # shape it is excused for (stale entries get cleaned up).
+    stale = [n for n in BOUNDED_GRAIN_SP_WINDOW_OK if n in catalog.queries() and n not in offenders]
+    assert not stale, f"allowlist entries no longer needed: {stale}"
+
+
+def test_late_block_scale_aware():
+    """late_block (events_lateness_profile's block width) must grow as
+    ~sqrt(N): both window stages of the two-level prefix max stay
+    one-task-feasible at any corpus size (round-8 fix for the
+    corpus-linear fixed-width block domain)."""
+    from rust_etl_spark.plans.events_queries import LATE_BLOCK, late_block
+
+    assert late_block(1) == LATE_BLOCK
+    assert late_block(100_000) == 1_000       # sf0.1 — unchanged width
+    assert late_block(1_000_000) == 1_000     # gen_sf1 boundary (10^6 = W^2)
+    assert late_block(1_000_001) == 10_000
+    assert late_block(3_000_000) == 10_000    # gen_sf3
+    assert late_block(10**12) == 1_000_000    # both stages ~10^6 rows
+    ws = [late_block(10**e) for e in range(0, 16)]
+    assert ws == sorted(ws)
