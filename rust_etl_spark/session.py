@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE pick the post-shuffle partition count by bytes, not
+        # the static cores count: start wide (8x cores) and coalesce to
+        # ~64 MB targets. Small tiers coalesce back to a handful of
+        # partitions (no extra scheduling), while GB-scale shuffles get
+        # enough sort partitions to stay in memory — at the 100x tier
+        # with a fixed 32, join_star (whose dims outgrow the broadcast
+        # threshold there and fall back to shuffle joins) and
+        # window_range_frame each sorted >1 GB shuffles through 32
+        # partitions and spilled 5.2 / 2.6 GB; starting at 256 removes
+        # the spill. This mirrors the right cluster setting: partition
+        # count scales with data volume, AQE owns the final number.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(8 * cores))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
@@ -59,7 +71,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode: all executor threads share the driver JVM, so
+        # per-task execution memory is heap * 0.6 / cores. At 8g/32
+        # cores that is ~150 MB — the 100x tier's GB-scale sort-merge
+        # joins and two-level window sorts need ~190 MB/task and
+        # spilled 5.2/2.6 GB (join_star / window_range_frame); 16g
+        # clears both to zero spill. The cluster translation: size
+        # executor memory so sort buffers cover shuffle-partition
+        # bytes, or equivalently keep partition bytes under
+        # (executor memory * fraction / cores).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

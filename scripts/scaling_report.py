@@ -55,6 +55,19 @@ FLAG_NOTES = {
         "~0.55x the events input — the sliding-window distinct state, "
         "linear; the 14x ratio comes from a sub-linear sf0.1 baseline."
     ),
+    "q3_shipping_priority": (
+        "a broadcast-threshold crossover, not super-linear growth: at "
+        "10x the filtered orders side outgrows the 64 MB broadcast "
+        "threshold and one BHJ becomes a SortMergeJoin (verified via "
+        "executedPlan: 2 BHJ/0 SMJ at sf0.1 vs 1 BHJ/1 SMJ at gen_sf1)"
+        ", step-changing shuffle bytes; within each join regime growth "
+        "is linear (6.0 -> 11.8 MB across 10x -> 30x), with a second "
+        "crossover at 100x when customer follows (601 MB ~= 0.6x "
+        "lineitem bytes). Wall stays sub-linear throughout: 1.4x at "
+        "10x, 3.6x at 30x, 6.2x at 100x rows. Exactly the transition "
+        "a 100 TB plan makes — at that scale you co-partition/bucket "
+        "orders+lineitem instead (README physical-design notes)."
+    ),
 }
 
 #: Watch list: queries BELOW the flag thresholds whose tier ratio moved

@@ -304,13 +304,19 @@ def test_lateness_profile_two_level_prefix_matches_naive(spark, ts_list):
 
     import rust_etl_spark.plans.events_queries as eq
 
+    import rust_etl_spark.sources as srcs
+
     data = [(i, t) for i, t in enumerate(ts_list)]
     df = spark.createDataFrame(data, "event_id long, ts_ns long")
     orig = eq.load_table
+    orig_rows = srcs.table_rows
     try:
         # Shrink the block so the multi-block path is exercised even
-        # on small hypothesis streams.
+        # on small hypothesis streams; the scale-aware late_block()
+        # sizes off table_rows, so fake that too (the real one would
+        # read the fixture dir the load_table patch bypasses).
         eq.load_table = lambda _s, _d, _n: df
+        srcs.table_rows = lambda _s, _d, _n: len(data)
         orig_blk, eq.LATE_BLOCK = eq.LATE_BLOCK, 8
         try:
             got = {
@@ -321,6 +327,7 @@ def test_lateness_profile_two_level_prefix_matches_naive(spark, ts_list):
             eq.LATE_BLOCK = orig_blk
     finally:
         eq.load_table = orig
+        srcs.table_rows = orig_rows
 
     hwm, expect = -1, Counter()
     for _, t in data:
