@@ -17,7 +17,7 @@ code):
   * dedup            — withWatermark + dropDuplicates, doubled input
   * stateful_profiles— applyInPandasWithState running per-user profile
 
-Run:  python scripts/stream_bench.py            (sf0.1 + gen_sf1)
+Run:  python scripts/stream_bench.py            (sf0.1 + gen_sf1 + gen_sf3)
       writes STREAM_BENCH.json; scripts/scaling_report.py renders it
       into SCALING.md's streaming section.
 """
@@ -47,6 +47,9 @@ N_FILES = 8
 TIERS = [
     ("sf0.1", "/root/testdata/sf0.1"),
     ("gen_sf1", "/root/repo/gen_sf1"),
+    # 30x (round 8): state is the scale risk in streaming, so measure
+    # where per-key state actually grows another 3x over the 10x point.
+    ("gen_sf3", "/root/repo/gen_sf3"),
 ]
 
 

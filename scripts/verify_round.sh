@@ -28,7 +28,17 @@ echo "== 3/4 full test suite =="
 python -m pytest tests/ -q
 
 echo "== 4/4 bench smoke (sf0.01) =="
+# bench.py rewrites BENCH_LOCAL.json on every run; the smoke's sf0.01
+# record must not clobber the committed sf0.1 one — save and restore.
+bench_local_saved=""
+if [ -f BENCH_LOCAL.json ]; then
+    bench_local_saved=$(mktemp)
+    cp BENCH_LOCAL.json "$bench_local_saved"
+fi
 out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py 2>/dev/null | tail -1)
+if [ -n "$bench_local_saved" ]; then
+    mv "$bench_local_saved" BENCH_LOCAL.json
+fi
 echo "$out"
 python - "$out" <<'EOF'
 import json, sys

@@ -377,3 +377,30 @@ def test_late_block_scale_aware():
     assert late_block(10**12) == 1_000_000    # both stages ~10^6 rows
     ws = [late_block(10**e) for e in range(0, 16)]
     assert ws == sorted(ws)
+
+
+def test_session_scale_configs_pinned(spark):
+    """The scale-critical session knobs are load-bearing measured fixes
+    (rounds 6-8) — a refactor that drops one silently reintroduces a
+    verified failure mode, so pin them on the live engine session:
+
+    - AQE + coalesce + data-scaled initialPartitionNum (8x cores):
+      without it the 100x tier's >1 GB sorts squeezed through the
+      static core-count partitioning and spilled 5.2/2.6 GB
+      (join_star / window_range_frame);
+    - 32 MB split target + 256 KB open-cost floor: byte-small
+      compute-heavy single-file tables (embeddings) otherwise plan
+      1-2 tasks and serialize the kernel work (kmeans 46x at 10x);
+    - nanosAsLong: events.parquet is TIMESTAMP(NANOS).
+    """
+    from rust_etl_spark.session import default_parallelism
+
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    ) == str(8 * default_parallelism())
+    assert conf.get("spark.sql.files.maxPartitionBytes") == str(32 * 1024 * 1024)
+    assert conf.get("spark.sql.files.openCostInBytes") == str(256 * 1024)
+    assert conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
