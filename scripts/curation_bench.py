@@ -26,6 +26,9 @@ TIERS = [
     ("gen_sf0.3", 3, os.path.join(ROOT, "gen_sf0.3")),
     ("gen_sf1", 10, os.path.join(ROOT, "gen_sf1")),
     ("gen_sf3", 30, os.path.join(ROOT, "gen_sf3")),
+    # 100x (round 8): 500k documents — the tier where per-stage data
+    # volume finally outgrows the JVM-startup floor.
+    ("gen_sf10", 100, os.path.join(ROOT, "gen_sf10")),
 ]
 
 
