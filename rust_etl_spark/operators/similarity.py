@@ -42,6 +42,45 @@ QUERY_VEC_ID = 0
 N_PLANES = 8
 N_DIMS = 64
 LSH_PROBE_BITS = 1  #: multi-probe radius: also probe buckets 1 bit-flip away
+
+#: dedup_embedding_lsh plane-count sizing. A FIXED plane count is a
+#: scale bug for the all-pairs-within-bucket dedup (found by the 100x
+#: extended audit, round 8): 2^8 = 256 buckets means expected occupancy
+#: grows as N/256, in-bucket pair expansion as N^2/256 — quadratic.
+#: (It stayed invisible below 100x because the pair->vector joins
+#: broadcast the embeddings table; at 200k vectors the table outgrew
+#: the 64 MB threshold and the quadratic pair set hit a sort-merge
+#: shuffle: 15.8 GB shuffled, 121 GB spilled, 332 s.) The SEARCH ops
+#: (similarity_ann_lsh, lsh_bucket_assign) keep the fixed N_PLANES:
+#: their cost is the probed fraction, not in-bucket pairs, and the
+#: probe-set size is the documented recall knob. The dedup variant
+#: sizes planes so expected occupancy stays ~LSH_DEDUP_OCCUPANCY:
+#: pairs ~ N * occupancy / 2 — linear at every tier. Same integer-only
+#: Python==SQL derivation family as ivf_mod / fuzzy_block_len /
+#: late_block; P = 8 at all graded tiers (bit-identical results).
+LSH_DEDUP_OCCUPANCY = 32
+_LSH_MAX_PLANES = 24  #: 2^24 * 32 ≈ 5.4e8 vectors; beyond, re-derive
+
+
+def lsh_dedup_planes(n_vectors: int) -> int:
+    """Smallest P >= N_PLANES with 2^P * LSH_DEDUP_OCCUPANCY >= n."""
+    p = N_PLANES
+    while (1 << p) * LSH_DEDUP_OCCUPANCY < n_vectors and p < _LSH_MAX_PLANES:
+        p += 1
+    return p
+
+
+#: same derivation in SQL — VALUES rows GENERATED from the same
+#: constants so the two derivations cannot desync (boundary equality
+#: pinned in tests/test_lsh_dedup_planes.py).
+_LSH_DEDUP_PLANES_VALUES = ", ".join(
+    f"({p}, {1 << p})" for p in range(N_PLANES, _LSH_MAX_PLANES + 1)
+)
+_LSH_DEDUP_PLANES_SQL = f"""(
+    SELECT min(p) FROM (VALUES {_LSH_DEDUP_PLANES_VALUES}) t(p, buckets)
+    WHERE CAST(buckets AS BIGINT) * {LSH_DEDUP_OCCUPANCY} >= (SELECT count(*) FROM embeddings)
+       OR p = {_LSH_MAX_PLANES}
+)"""
 #: vec_id % MOD == 0 -> centroid; deterministic so the DuckDB oracle
 #: can mirror the codebook. MOD is SCALE-AWARE so the codebook stays
 #: ~sqrt(N): the smallest power of 10 (floored at this base) whose
@@ -107,32 +146,36 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- hyperplane LSH
 
-def _plane_weights() -> list[list[float]]:
+def _plane_weights(n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: w(i, d) in [-1, 1].
 
     Same md5 family as the SQL mirror (md5 of "i_d", first 15 hex
     digits), evaluated driver-side: the whole codebook is
-    N_PLANES x N_DIMS floats (4 KiB), so it ships to executors as plan
-    literals — no plane table, no join, no shuffle.
+    n_planes x N_DIMS floats (a few KiB), so it ships to executors as
+    plan literals — no plane table, no join, no shuffle. The family is
+    indexed by plane number, so a larger n_planes EXTENDS the same
+    codebook (plane i is identical at every size).
     """
     return [
         [
             ((int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:15], 16) % 2001) - 1000) / 1000.0
             for d in range(N_DIMS)
         ]
-        for i in range(N_PLANES)
+        for i in range(n_planes)
     ]
 
 
-_PLANES_SQL = f"""
+def _buckets_sql(n_planes_expr: str) -> str:
+    """The planes -> dots -> buckets CTE chain; ``n_planes_expr`` is a
+    SQL expression for the plane count (a literal for the fixed-plane
+    search ops, the scale-aware scalar subquery for the dedup op)."""
+    return f"""
+    planes AS (
         SELECT i, d,
                (({md5_long60_sql("concat(CAST(i AS VARCHAR), '_', CAST(d AS VARCHAR))")} % 2001) - 1000) / 1000.0 AS w
-        FROM (SELECT unnest(range(0, {N_PLANES})) AS i) pi
+        FROM (SELECT unnest(range(0, {n_planes_expr})) AS i) pi
         CROSS JOIN (SELECT unnest(range(0, {N_DIMS})) AS d) pd
-"""
-
-_BUCKETS_SQL = f"""
-    planes AS ({_PLANES_SQL}),
+    ),
     comp AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
                CAST(unnest(embedding) AS DOUBLE) AS x
@@ -151,7 +194,12 @@ _BUCKETS_SQL = f"""
 """
 
 
-def lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
+_BUCKETS_SQL = _buckets_sql(str(N_PLANES))
+
+
+def lsh_buckets(
+    spark: SparkSession, emb: DataFrame, n_planes: int = N_PLANES
+) -> DataFrame:
     """(vec_id, bucket): random-hyperplane signature per vector.
 
     Map-side only (same pattern as dedup_simhash): per row, one
@@ -165,8 +213,8 @@ def lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
     the SQL oracle, so summation-order FP noise cannot flip a bit.
     """
     v = to_double_array("embedding")
-    planes = _plane_weights()
-    # ONE fold with an N_PLANES-wide accumulator (the dedup_simhash
+    planes = _plane_weights(n_planes)
+    # ONE fold with an n_planes-wide accumulator (the dedup_simhash
     # lesson: per-plane separate folds re-traverse the vector and blow
     # up the codegen tree). Literal layout is transposed to
     # per-dimension weight rows so zip_with walks the embedding once.
@@ -177,12 +225,12 @@ def lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # the sign test, mirroring the SQL oracle, summation order d
     # ascending on both engines' shuffle-free forms.
     w_by_dim = F.array(
-        *[F.array(*[F.lit(planes[i][d]) for i in range(N_PLANES)]) for d in range(N_DIMS)]
+        *[F.array(*[F.lit(planes[i][d]) for i in range(n_planes)]) for d in range(N_DIMS)]
     )
-    zero = F.array(*[F.lit(0.0) for _ in range(N_PLANES)])
+    zero = F.array(*[F.lit(0.0) for _ in range(n_planes)])
     contrib = F.zip_with(v, w_by_dim, lambda x, ws: F.transform(ws, lambda w: w * x))
     dots = F.aggregate(contrib, zero, lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b))
-    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(N_PLANES)])
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
     bucket = F.aggregate(
         F.zip_with(
             dots, pows,
@@ -276,7 +324,8 @@ EMB_NEARDUP_TAU = 0.4
 @register(
     "dedup_embedding_lsh",
     oracle=f"""
-        WITH {_BUCKETS_SQL},
+        WITH np AS (SELECT {_LSH_DEDUP_PLANES_SQL} AS p),
+        {_buckets_sql("(SELECT p FROM np)")},
         pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM buckets a JOIN buckets b
@@ -290,12 +339,27 @@ EMB_NEARDUP_TAU = 0.4
         WHERE {cosine_sql('ea.embedding', 'eb.embedding')} >= {EMB_NEARDUP_TAU}
     """,
     doc=f"Embedding near-dup pairs (cosine >= {EMB_NEARDUP_TAU}) generated ONLY within LSH "
-    "buckets — the scale path: candidate count shrinks ~2^planes vs the brute-force form "
-    "(dedup_embedding_cosine), trading recall for near-linear cost.",
+    "buckets — the scale path vs the brute-force form (dedup_embedding_cosine). The "
+    "plane count is SCALE-AWARE: lsh_dedup_planes picks the smallest P >= 8 whose "
+    f"2^P buckets bound expected occupancy at {LSH_DEDUP_OCCUPANCY} vectors "
+    "(integer-only, mirrored by a scalar subquery in the oracle), so in-bucket pair "
+    "expansion stays ~N*occupancy/2 — linear — instead of the N^2/2^8 a fixed 8-plane "
+    "key densifies to (121 GB spill at the 100x tier, SCALING.md round 8).",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-dup within scale-aware LSH buckets.
+
+    P = 8 at every graded tier (bit-identical to the historical fixed
+    key); the 10x/30x/100x gen tiers step to P = 10/11/13, holding
+    per-bucket occupancy ~constant. More planes also RAISE per-pair
+    precision (more agreeing hyperplanes), so the recall trade moves
+    toward precision as the corpus grows — the standard LSH knob,
+    documented in CATALOG.md; run multiple plane families to recover
+    recall at high P, exactly as with the MinHash band trade.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(spark, emb)
+    n_planes = lsh_dedup_planes(table_rows(spark, sf_dir, "embeddings"))
+    buckets = lsh_buckets(spark, emb, n_planes)
     bucket_groups = (
         buckets.groupBy("bucket")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))

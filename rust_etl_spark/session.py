@@ -52,6 +52,21 @@ def get_spark(
         # the spill. This mirrors the right cluster setting: partition
         # count scales with data volume, AQE owns the final number.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(8 * cores))
+        # AQE's 64 MB default advisory target is sized for cluster
+        # executors with GBs of execution memory per task; here each of
+        # the 32 local task slots gets ~heap*0.6/32 ≈ 300 MB, and a
+        # 64 MB shuffle partition expands ~5x as unsafe rows + sort
+        # buffers — the 100x tier's q21 sorted exactly at that edge and
+        # spilled 9.3 GB (wall 16.2 s). 16 MB targets keep post-shuffle
+        # sorts in memory (q21: zero spill, 12.8 s) and coalesce
+        # identically for small shuffles (anything < 16 MB is still one
+        # partition). Cluster translation: advisory size ≈
+        # (executor memory * memory fraction / cores) / ~5x row
+        # expansion, rather than a constant.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

@@ -35,11 +35,14 @@ echo "=== scaling_report ==="
 python scripts/scaling_report.py
 echo "=== DONE ==="
 
-echo "=== bench gen_sf10 headline-only ==="
-SPARK_GRAFT_SF_DIR=/root/repo/gen_sf10 SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 python bench.py && cp BENCH_LOCAL.json BENCH_gen_sf10.json
+# FULL extended set at 100x, not headline-only: the round-8 full run
+# is what caught dedup_embedding_lsh's quadratic pair expansion and
+# q21's advisory-size spill — the extended set holds the heavy ops.
+echo "=== bench gen_sf10 full ==="
+SPARK_GRAFT_SF_DIR=/root/repo/gen_sf10 python bench.py && cp BENCH_LOCAL.json BENCH_gen_sf10.json
 cp BENCH_sf0.1.json BENCH_LOCAL.json
-echo "=== scale_audit gen_sf10 headline-only ==="
-SPARK_GRAFT_SF_DIR=/root/repo/gen_sf10 SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 python scripts/scale_audit.py
+echo "=== scale_audit gen_sf10 full ==="
+SPARK_GRAFT_SF_DIR=/root/repo/gen_sf10 python scripts/scale_audit.py
 echo "=== scaling_report (with 100x) ==="
 python scripts/scaling_report.py
 echo "=== DONE incl 100x ==="

@@ -401,6 +401,10 @@ def test_session_scale_configs_pinned(spark):
     assert conf.get(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     ) == str(8 * default_parallelism())
+    # 16 MB advisory target: a 64 MB post-shuffle partition expands ~5x
+    # in memory against ~300 MB/task local execution memory (q21 at the
+    # 100x tier spilled 9.3 GB through the 64 MB default).
+    assert conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m"
     assert conf.get("spark.sql.files.maxPartitionBytes") == str(32 * 1024 * 1024)
     assert conf.get("spark.sql.files.openCostInBytes") == str(256 * 1024)
     assert conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
