@@ -184,12 +184,14 @@ def _mid_tier_section(b0: dict, b1: dict) -> list[str]:
         "  spill, wall 16.2 -> 12.8 s; sf0.1 headline unchanged at",
         "  14.1 s). Cluster translation: advisory size ~= executor",
         "  memory * fraction / cores / ~5, not a constant.",
-        "- `similarity_ann_ivf` walls 83.5 s at 100x with zero",
-        "  shuffle/spill: the exact argmin assignment is N x C folds and",
-        "  C = N/MOD grows linearly within a MOD decade, so assignment",
-        "  is O(N^1.5) by design (the standard exact-IVF trade; MOD",
-        "  steps a decade at N > 10^6 and C falls back to ~N/MOD). At",
-        "  cluster scale the N x C stage is embarrassingly parallel and",
+        "- the exact-IVF family (`similarity_ann_ivf` ~19 s,",
+        "  `kmeans_iterate` ~25-50 s at 100x — the tier's wall-worst",
+        "  queries, both zero shuffle growth / zero spill): the exact",
+        "  argmin assignment is N x C distance folds and C = N/MOD",
+        "  grows linearly within a MOD decade, so assignment is",
+        "  O(N^1.5) by design (the standard exact-IVF trade; MOD steps",
+        "  a decade at N > 10^6 and C falls back to ~N/MOD). At cluster",
+        "  scale the N x C stage is embarrassingly parallel and",
         "  map-side only; real deployments swap in approximate or",
         "  hierarchical assignment when N^1.5 binds.",
         "",
