@@ -78,6 +78,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
 
+    # Warm the Python/Arrow worker pool before any timed query: the
+    # audit is single-run (unlike bench's min-of-3), and the first
+    # applyInPandas/mapInPandas of a session pays worker-fork + Arrow
+    # init on every core — at the 100x tier that read as
+    # grouped_normalize 7.67 s vs its 0.48 s bench steady state, a
+    # pure cold-start artifact masquerading as a scale cliff.
+    import pandas as _pd
+
+    spark.createDataFrame(_pd.DataFrame({"k": range(64), "v": range(64)})) \
+        .groupBy("k").applyInPandas(lambda p: p, "k long, v long") \
+        .write.format("noop").mode("overwrite").save()
+
     names = audit_names()
     rows = []
     seen: set[int] = set()
