@@ -19,6 +19,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_driver_mem() -> str:
+    """16g clears the 100x tier's sort buffers (see the inline comment
+    at the config site), but an unconditional 16g heap fails to launch
+    on a smaller host (ADVICE round 8) — clamp to ~half of physical
+    RAM, floored at 2g. ``SPARK_GRAFT_DRIVER_MEM`` overrides outright."""
+    try:
+        with open("/proc/meminfo") as f:
+            total_kb = int(
+                next(line for line in f if line.startswith("MemTotal")).split()[1]
+            )
+        half_gb = max(2, total_kb // (1024 * 1024) // 2)
+        return f"{min(16, half_gb)}g"
+    except (OSError, StopIteration, ValueError):
+        return "16g"
+
+
 def get_spark(
     app_name: str = "rust_etl_spark",
     *,
@@ -95,7 +111,7 @@ def get_spark(
         # executor memory so sort buffers cover shuffle-partition
         # bytes, or equivalently keep partition bytes under
         # (executor memory * fraction / cores).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -104,8 +104,11 @@ def _load(name: str) -> dict | None:
 EXTRA_TIERS = [
     ("3x", 3, "BENCH_gen_sf0.3.json", "SCALE_AUDIT_gen_sf0.3.json"),
     ("30x", 30, "BENCH_gen_sf3.json", "SCALE_AUDIT_gen_sf3.json"),
-    # headline-only (SPARK_GRAFT_BENCH_HEADLINE_ONLY): extended_total
-    # is 0 there and the renderers below skip it.
+    # 100x is a FULL run (headline + extended) — regen_scale_evidence.sh
+    # runs the whole set there, and it's the extended coverage at this
+    # tier that caught the round-8 LSH quadratic. Headline-only remains
+    # an env-flag option (SPARK_GRAFT_BENCH_HEADLINE_ONLY) for quick
+    # re-measures; the renderers below skip extended_total=0 records.
     ("100x", 100, "BENCH_gen_sf10.json", "SCALE_AUDIT_gen_sf10.json"),
 ]
 
@@ -215,9 +218,7 @@ def _curation_section() -> list[str]:
     curve = " -> ".join(
         f"**{t['wall_sec']} s** ({t['mult']}x docs)" for t in tiers
     )
-    worst = max(
-        (t["wall_sec"] / base["wall_sec"] / 1.0, t) for t in tiers[1:]
-    )[1]
+    worst = max(tiers[1:], key=lambda t: t["wall_sec"] / base["wall_sec"])
     lines = [
         "## End-to-end curation curve",
         "",

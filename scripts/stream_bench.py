@@ -12,12 +12,17 @@ Profiles (same plan shapes as rust_etl_spark/streaming/*, constants and
 the stateful operator imported from there so this measures shipped
 code):
 
-  * windowed_agg     — watermark + tumbling-window count/sum (complete)
+  * windowed_agg     — watermark + tumbling-window count/sum (update
+                       mode, so watermark eviction actually drops
+                       closed windows and the recorded state is the
+                       in-horizon bound — round-9 fix: complete mode
+                       retained every window ever seen, overstating
+                       state growth)
   * session_window   — native session_window gap sessionization (append)
   * dedup            — withWatermark + dropDuplicates, doubled input
   * stateful_profiles— applyInPandasWithState running per-user profile
 
-Run:  python scripts/stream_bench.py            (sf0.1 + gen_sf1 + gen_sf3)
+Run:  python scripts/stream_bench.py   (sf0.1 + gen_sf1 + gen_sf3 + gen_sf10)
       writes STREAM_BENCH.json; scripts/scaling_report.py renders it
       into SCALING.md's streaming section.
 """
@@ -50,6 +55,10 @@ TIERS = [
     # 30x (round 8): state is the scale risk in streaming, so measure
     # where per-key state actually grows another 3x over the 10x point.
     ("gen_sf3", "/root/repo/gen_sf3"),
+    # 100x (round 9): match the batch surface's top tier; session_window
+    # state was 131 MB at 30x and linear in open sessions — measure
+    # where it would first threaten executor memory.
+    ("gen_sf10", "/root/repo/gen_sf10"),
 ]
 
 
@@ -113,7 +122,11 @@ def profile_windowed_agg(spark, watch, schema):
         .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
-    return _drive(agg, "complete")
+    # update mode (NOT complete): complete retains every window ever
+    # seen in the store, so watermark eviction never applies and the
+    # recorded state would grow with total windows rather than the
+    # in-horizon bound the design note claims.
+    return _drive(agg, "update")
 
 
 def profile_session_window(spark, watch, schema):

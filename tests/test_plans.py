@@ -357,9 +357,13 @@ def test_no_single_partition_window_anywhere_in_catalog(spark):
     unlisted = {n: h for n, h in offenders.items() if n not in BOUNDED_GRAIN_SP_WINDOW_OK}
     assert not unlisted, f"UNBOUNDED single-partition windows: {unlisted}"
     # keep the allowlist honest: every listed query must still plan the
-    # shape it is excused for (stale entries get cleaned up).
+    # shape it is excused for (stale entries get cleaned up)...
     stale = [n for n in BOUNDED_GRAIN_SP_WINDOW_OK if n in catalog.queries() and n not in offenders]
     assert not stale, f"allowlist entries no longer needed: {stale}"
+    # ...and must still EXIST — an entry whose query left the catalog
+    # would otherwise linger dead forever (ADVICE round 8).
+    missing = set(BOUNDED_GRAIN_SP_WINDOW_OK) - set(catalog.queries())
+    assert not missing, f"allowlist entries for removed queries: {missing}"
 
 
 def test_late_block_scale_aware():
