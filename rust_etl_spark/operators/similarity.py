@@ -109,7 +109,76 @@ _IVF_MOD_SQL = f"""(
     WHERE CAST(p AS BIGINT) * p >= (SELECT count(*) FROM embeddings)
        OR p = 1000000
 )"""
-IVF_NPROBE = 4  #: cells probed by the IVF search (the standard recall knob)
+IVF_NPROBE = 4  #: base cells probed by the IVF search (the standard recall knob)
+
+#: -------- hierarchical (two-level) assignment sizing (round 9) --------
+#: Exact argmin assignment is N x C distance folds with C ~ sqrt(N) —
+#: O(N^1.5), the wall-worst surface at the 100x tier (similarity_ann_ivf
+#: ~19 s, kmeans_iterate ~25-50 s; SCALING.md round 8). Above
+#: IVF_HIER_MIN_CELLS cells the assignment goes two-level: every f-th
+#: centroid (f ~ sqrt(C), power of 2) is a SUPER-cell; each centroid
+#: attaches to its nearest super, each vector finds its nearest super
+#: (argmin over ~sqrt(C)) and then its nearest centroid among that
+#: super's children (argmin over ~f ~ sqrt(C)) — per-vector work drops
+#: from C to ~2*sqrt(C), assignment from O(N^1.5) to O(N^1.25). This is
+#: the standard hierarchical coarse quantizer (IMI/2-level IVF family);
+#: the assignment becomes approximate at f > 1 tiers (a boundary vector
+#: can attach to a neighboring super's child), which is mirrored
+#: EXACTLY by the oracle: same integer-only derivation family as
+#: ivf_mod / lsh_dedup_planes, so both engines build the identical
+#: hierarchy. Every graded tier (and sf0.1 / gen_sf1 / gen_sf3: C <=
+#: 60) stays below the gate, so f = 1 there and results remain
+#: bit-identical to the historical exact argmin (the flat fold was
+#: verified value-equal to the old min(struct) aggregate at sf0.01 and
+#: sf0.1 before landing).
+IVF_HIER_MIN_CELLS = 64
+_IVF_MAX_SUPER_FACTOR = 1024  #: f caps at 1024 => fine up to ~10^6 cells
+
+
+def ivf_n_cells(n_vectors: int, mod: int) -> int:
+    """Centroid count under the dense-id codebook rule (vec_id % mod
+    == 0 over ids 0..N-1) — pure arithmetic so both engines derive it
+    identically without scanning."""
+    return (n_vectors - 1) // mod + 1
+
+
+def ivf_super_factor(n_cells: int) -> int:
+    """1 (exact argmin) below the gate; else the smallest power of 2
+    >= 8 whose square covers the cell count (~sqrt(C) supers of
+    ~sqrt(C) children each), capped at _IVF_MAX_SUPER_FACTOR."""
+    if n_cells < IVF_HIER_MIN_CELLS:
+        return 1
+    f = 8
+    while f * f < n_cells and f < _IVF_MAX_SUPER_FACTOR:
+        f *= 2
+    return f
+
+
+def ivf_nprobe(n_cells: int) -> int:
+    """Scale-aware nprobe: hold the probed fraction ~constant (>= 1/5
+    of the cells, floored at IVF_NPROBE) instead of a fixed cell count.
+    Round-8 measurement: fixed nprobe=16 recall diluted 0.958 -> 0.732
+    as cells grew 20 -> 200 (ANN_RECALL_gen_sf10.json); a constant
+    fraction holds the recall anchor flat while probed work stays
+    ~N/5 — the same linear-in-N cost as every other knob here."""
+    return max(IVF_NPROBE, (n_cells + 4) // 5)
+
+
+#: SQL mirrors of the three derivations above (integer-only; VALUES
+#: generated from the same constants so the derivations cannot desync —
+#: boundary equality pinned in tests/test_ivf_hier.py).
+_IVF_N_CELLS_SQL = f"(((SELECT count(*) FROM embeddings) - 1) // {_IVF_MOD_SQL} + 1)"
+_SUPER_FACTOR_VALUES = ", ".join(
+    f"({f})" for f in [8 << i for i in range(8) if 8 << i <= _IVF_MAX_SUPER_FACTOR]
+)
+_IVF_SUPER_FACTOR_SQL = f"""(
+    SELECT CASE WHEN {_IVF_N_CELLS_SQL} < {IVF_HIER_MIN_CELLS} THEN 1 ELSE (
+        SELECT min(f) FROM (VALUES {_SUPER_FACTOR_VALUES}) t(f)
+        WHERE CAST(f AS BIGINT) * f >= {_IVF_N_CELLS_SQL}
+           OR f = {_IVF_MAX_SUPER_FACTOR}
+    ) END
+)"""
+_IVF_NPROBE_SQL = f"GREATEST({IVF_NPROBE}, ({_IVF_N_CELLS_SQL} + 4) // 5)"
 
 
 # ------------------------------------------------------ brute force
@@ -392,50 +461,173 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CENTROIDS_SQL = f"SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % {_IVF_MOD_SQL} = 0"
 
+#: Unified hierarchical assignment chain (exports CTEs ``centroids``
+#: and ``assign``). With f = 1 (every tier up to 30x) the chain
+#: DEGENERATES to the historical exact argmin: every centroid is a
+#: super, each attaches to itself (ties on duplicate vectors break to
+#: the lower id on BOTH levels, so a tied vector still reaches the
+#: globally-lowest-id nearest centroid), and the vector->super argmin
+#: IS the exact argmin over all centroids.
 _ASSIGN_SQL = f"""
     centroids AS ({_CENTROIDS_SQL}),
-    dists AS (
-        SELECT e.vec_id, c.cid, {l2sq_sql('e.embedding', 'c.cvec')} AS dist
-        FROM embeddings e CROSS JOIN centroids c
-    ), assign AS (
+    supers AS (
+        SELECT cid AS sid, cvec AS svec FROM centroids
+        WHERE cid % ({_IVF_MOD_SQL} * {_IVF_SUPER_FACTOR_SQL}) = 0
+    ),
+    cent_super AS (
+        SELECT cid, sid FROM (
+            SELECT c.cid, s.sid,
+                   row_number() OVER (
+                       PARTITION BY c.cid
+                       ORDER BY {l2sq_sql('c.cvec', 's.svec')}, s.sid) AS rn
+            FROM centroids c CROSS JOIN supers s
+        ) t WHERE rn = 1
+    ),
+    vec_super AS (
+        SELECT vec_id, sid FROM (
+            SELECT e.vec_id, s.sid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {l2sq_sql('e.embedding', 's.svec')}, s.sid) AS rn
+            FROM embeddings e CROSS JOIN supers s
+        ) t WHERE rn = 1
+    ),
+    assign AS (
         SELECT vec_id, cid, dist FROM (
-            SELECT vec_id, cid, dist,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-            FROM dists
+            SELECT e.vec_id, c.cid,
+                   {l2sq_sql('e.embedding', 'c.cvec')} AS dist,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {l2sq_sql('e.embedding', 'c.cvec')}, c.cid) AS rn
+            FROM embeddings e
+            JOIN vec_super vs ON vs.vec_id = e.vec_id
+            JOIN cent_super ca ON ca.sid = vs.sid
+            JOIN centroids c ON c.cid = ca.cid
         ) t WHERE rn = 1
     )
 """
 
 
-def ivf_assignments(spark: SparkSession, emb: DataFrame, mod: int | None = None) -> DataFrame:
+def _argmin_over(vec_col, arr_col, id_field: str, vec_field: str):
+    """struct(dist, id) of the array element nearest to ``vec_col``.
+
+    A single in-row fold over an array of (id, vector) structs:
+    ``F.least`` on structs is the lexicographic (dist, id) min, so ties
+    break to the lower id exactly like ``ORDER BY dist, <id>`` — and
+    the fold stays inside whole-stage codegen (the nested
+    aggregate-in-aggregate pattern proven by _pq_dist_cols)."""
+    init = F.struct(
+        F.lit(float("inf")).cast("double").alias("dist"),
+        F.lit(-1).cast("long").alias("id"),
+    )
+    return F.aggregate(
+        arr_col,
+        init,
+        lambda acc, s: F.least(
+            acc,
+            F.struct(
+                l2sq(vec_col, s[vec_field]).alias("dist"),
+                s[id_field].cast("long").alias("id"),
+            ),
+        ),
+    )
+
+
+def _pack_codebook(cent: DataFrame, id_out: str, vec_out: str, arr_name: str) -> DataFrame:
+    """One-row DataFrame holding the codebook as an array of structs —
+    the broadcast-literal form every assignment fold consumes. Bounded:
+    the codebook is ~sqrt(N) x dims doubles (MB-scale at any tier the
+    mod rule produces; see ivf_mod)."""
+    return cent.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cid").alias(id_out), F.col("cvec").alias(vec_out)))
+        ).alias(arr_name)
+    )
+
+
+def assign_to_cells(
+    vdf: DataFrame, cent: DataFrame, super_step: int | None, keep_vec: bool = False
+) -> DataFrame:
+    """(vec_id, cid, dist): nearest-centroid assignment of ``vdf``
+    (vec_id, v) against codebook ``cent`` (cid, cvec).
+
+    ``super_step is None`` -> EXACT flat argmin: one fold per row over
+    the broadcast codebook array — zero shuffle on the vector side
+    (the round-6 min(struct) re-plan shuffled ~N pre-combined rows;
+    this form shuffles nothing).
+
+    ``super_step`` set -> two-level: supers = centroids with cid %
+    super_step == 0; centroids attach to their nearest super
+    (broadcast C-row stage), vectors fold over ~sqrt(C) supers, then
+    over the winning super's ~sqrt(C) children via a broadcast join —
+    still zero shuffle on the vector side, per-vector work ~2*sqrt(C).
+
+    ``keep_vec`` carries the input vector through as column ``v`` (for
+    callers like the Lloyd mean that need (cid, v) without re-joining
+    the source — the re-join would be the only shuffle in the plan).
+    """
+    extra = ["v"] if keep_vec else []
+    if super_step is None:
+        flat = _pack_codebook(cent, "cid", "cvec", "cells")
+        best = vdf.crossJoin(F.broadcast(flat)).select(
+            "vec_id", *extra,
+            _argmin_over(F.col("v"), F.col("cells"), "cid", "cvec").alias("m"),
+        )
+    else:
+        sup = cent.filter(F.col("cid") % super_step == 0)
+        sup_arr = _pack_codebook(sup, "sid", "svec", "sups")
+        cent_super = cent.crossJoin(F.broadcast(sup_arr)).select(
+            "cid", "cvec",
+            _argmin_over(F.col("cvec"), F.col("sups"), "sid", "svec")["id"].alias("sid"),
+        )
+        kids = cent_super.groupBy("sid").agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("kids")
+        )
+        vec_super = vdf.crossJoin(F.broadcast(sup_arr)).select(
+            "vec_id", "v",
+            _argmin_over(F.col("v"), F.col("sups"), "sid", "svec")["id"].alias("sid"),
+        )
+        best = vec_super.join(F.broadcast(kids), "sid").select(
+            "vec_id", *extra,
+            _argmin_over(F.col("v"), F.col("kids"), "cid", "cvec").alias("m"),
+        )
+    return best.select(
+        "vec_id", *extra, F.col("m.id").alias("cid"), F.col("m.dist").alias("dist")
+    )
+
+
+def ivf_assignments(
+    spark: SparkSession,
+    emb: DataFrame,
+    mod: int | None = None,
+    n_vectors: int | None = None,
+    keep_vec: bool = False,
+) -> DataFrame:
     """(vec_id, cid, dist): nearest deterministic centroid per vector.
 
-    The argmin is a map-side-combinable ``min(struct(dist, cid))``
-    aggregate (lexicographic struct min == ORDER BY dist, cid), NOT a
-    per-vec_id window: the N x C broadcast-join rows are consumed by
-    the partial aggregate inside the same codegen stage, so only ~N
-    pre-combined rows ever shuffle. The 10x scaling run caught the
-    window form shuffling the full N x C cross product (C grows with
-    the corpus under the deterministic mod rule), which made
-    assignment super-linear — see SCALING.md.
+    Flat exact argmin below IVF_HIER_MIN_CELLS cells (bit-identical to
+    the historical min(struct) form — verified value-equal at sf0.01 /
+    sf0.1 before landing), two-level hierarchical above it (see the
+    sizing comment at ivf_super_factor: O(N^1.25) instead of the exact
+    O(N^1.5); the oracle mirrors the hierarchy exactly). Zero shuffle
+    on the vector side either way — assignment is a pure map against
+    broadcast codebook arrays.
 
-    Pass ``mod`` when the caller already derived it: ivf_mod needs a
-    full count() job, and a caller that also sizes its own centroid
-    set (similarity_ann_ivf) would otherwise scan the table twice.
+    Pass ``mod``/``n_vectors`` when the caller already derived them:
+    ivf_mod needs a full count() job, and a caller that also sizes its
+    own centroid set (similarity_ann_ivf) would otherwise scan twice.
     """
+    if n_vectors is None:
+        n_vectors = emb.count()
     if mod is None:
-        mod = ivf_mod(emb.count())
+        mod = ivf_mod(n_vectors)
+    f = ivf_super_factor(ivf_n_cells(n_vectors, mod))
     cent = (
         emb.filter(F.col("vec_id") % mod == 0)
         .select(F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec"))
     )
-    dists = (
-        emb.select("vec_id", to_double_array("embedding").alias("v"))
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", l2sq(F.col("v"), F.col("cvec")).alias("dist"))
-    )
-    best = dists.groupBy("vec_id").agg(F.min(F.struct("dist", "cid")).alias("m"))
-    return best.select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+    vdf = emb.select("vec_id", to_double_array("embedding").alias("v"))
+    return assign_to_cells(vdf, cent, None if f == 1 else mod * f, keep_vec=keep_vec)
 
 
 @register(
@@ -443,11 +635,13 @@ def ivf_assignments(spark: SparkSession, emb: DataFrame, mod: int | None = None)
     oracle=f"WITH {_ASSIGN_SQL} SELECT vec_id, cid, dist FROM assign",
     doc="IVF coarse quantization: argmin-L2 assignment to deterministic "
     "centroids (vec_id % MOD = 0, MOD scale-aware so the codebook stays "
-    "~sqrt(N); identical derivation on both engines).",
+    "~sqrt(N); two-level hierarchical above IVF_HIER_MIN_CELLS cells; "
+    "identical derivation on both engines).",
 )
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_assignments(spark, emb, ivf_mod(table_rows(spark, sf_dir, "embeddings")))
+    n = table_rows(spark, sf_dir, "embeddings")
+    return ivf_assignments(spark, emb, ivf_mod(n), n)
 
 
 @register(
@@ -470,11 +664,12 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    mod = ivf_mod(table_rows(spark, sf_dir, "embeddings"))
-    assign = ivf_assignments(spark, emb, mod).select("vec_id", "cid")
-    comp = assign.join(emb, "vec_id").select(
-        "cid", F.posexplode(to_double_array("embedding")).alias("d", "x")
-    )
+    n = table_rows(spark, sf_dir, "embeddings")
+    # keep_vec carries the vector through the (shuffle-free) assignment
+    # projection, so no re-join against the source is needed — the
+    # per-(cell, dim) mean's exchange is the plan's only shuffle.
+    assign = ivf_assignments(spark, emb, ivf_mod(n), n, keep_vec=True)
+    comp = assign.select("cid", F.posexplode("v").alias("d", "x"))
     return (
         comp.groupBy("cid", F.col("d").cast("long").alias("d"))
         .agg(F.round(F.avg("x"), 6).alias("c_val"), F.count(F.lit(1)).alias("n_members"))
@@ -504,24 +699,26 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    n = table_rows(spark, sf_dir, "embeddings")
+    mod = ivf_mod(n)
     cents = (
-        emb.filter(F.col("vec_id") % ivf_mod(table_rows(spark, sf_dir, "embeddings")) == 0)
+        emb.filter(F.col("vec_id") % mod == 0)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
     )
+    # cid 0 is always a centroid initially, so a super exists in round 1;
+    # later rounds re-check against the surviving codebook ids.
+    cids = list(range(0, n, mod))
     spark_sess = emb.sparkSession
     last = None
     for _ in range(KMEANS_ITERS):
-        dists = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "v", "cid", l2sq(F.col("v"), F.col("cvec")).alias("dist")
-        )
-        # map-side-combinable argmin (same re-plan as ivf_assignments):
-        # the N x C join rows never shuffle; v is group-constant.
-        assigned = dists.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cid")).alias("m"), F.first("v").alias("v")
-        )
-        comp = assigned.select(
-            F.col("m.cid").alias("cid"), F.posexplode("v").alias("d", "x")
-        )
+        f = ivf_super_factor(len(cids))
+        # hierarchical only if the super slice of the SURVIVING codebook
+        # is non-empty (cells can drop out between rounds).
+        step = mod * f if f > 1 and any(c % (mod * f) == 0 for c in cids) else None
+        # keep_vec fold assignment: zero shuffle on the vector side per
+        # round (the round-6 min(struct) form shuffled ~N combined rows).
+        assigned = assign_to_cells(emb, cents, step, keep_vec=True)
+        comp = assigned.select("cid", F.posexplode("v").alias("d", "x"))
         stats = comp.groupBy("cid", F.col("d").cast("long").alias("d")).agg(
             F.avg("x").alias("c_val"), F.count(F.lit(1)).alias("n_members")
         )
@@ -532,8 +729,9 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cid: dict[int, list[float]] = {}
         for r in rows:
             by_cid.setdefault(r["cid"], []).append(float(r["c_val"]))
+        cids = sorted(by_cid)
         cents = spark_sess.createDataFrame(
-            [(cid, vec) for cid, vec in sorted(by_cid.items())], "cid long, cvec array<double>"
+            [(cid, by_cid[cid]) for cid in cids], "cid long, cvec array<double>"
         )
     return last.select(
         "cid", "d", F.round(F.col("c_val"), 6).alias("c_val"), "n_members"
@@ -545,8 +743,14 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_ASSIGN_SQL},
         qcells AS (
-            SELECT cid FROM dists WHERE vec_id = {QUERY_VEC_ID}
-            ORDER BY dist, cid LIMIT {IVF_NPROBE}
+            SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                           ORDER BY {l2sq_sql('c.cvec', 'q.embedding')}, c.cid) AS rn
+                FROM centroids c
+                CROSS JOIN (SELECT embedding FROM embeddings
+                            WHERE vec_id = {QUERY_VEC_ID}) q
+            ) t WHERE rn <= {_IVF_NPROBE_SQL}
         ),
         cand AS (
             SELECT a.vec_id FROM assign a JOIN qcells USING (cid)
@@ -559,21 +763,26 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY score DESC, e.vec_id
         LIMIT {TOPK}
     """,
-    doc=f"ANN top-{TOPK} probing the query's {IVF_NPROBE} nearest IVF cells "
-    "(nprobe — the standard recall knob: one cell misses neighbors that "
-    "fall just across a Voronoi boundary), exact cosine within the probed "
-    "cells.",
+    doc=f"ANN top-{TOPK} probing the query's nprobe nearest IVF cells with "
+    "exact cosine inside them. nprobe is SCALE-AWARE (round 9): a fixed "
+    "cell count dilutes recall as the sqrt(N) codebook grows (measured "
+    "0.958 -> 0.732 for nprobe=16 as cells grew 20 -> 200), so ivf_nprobe "
+    f"holds the probed fraction at >= 1/5 of the cells (floored at {IVF_NPROBE}; "
+    "same integer-only derivation on both engines).",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nprobe-cell IVF search: rank the KB-sized centroid codebook by
     distance to the query (driver-light: the ranking is a broadcast
-    cross of one row x n_cells), take the IVF_NPROBE nearest cells,
-    and run exact cosine only inside them. At 100 TB the probed
-    fraction is nprobe/n_cells of the corpus; nprobe trades recall
-    against scan cost without touching the index."""
+    cross of one row x n_cells), take the ivf_nprobe(n_cells) nearest
+    cells, and run exact cosine only inside them. At 100 TB the probed
+    fraction is nprobe/n_cells of the corpus — held ~constant by the
+    scale-aware derivation, so recall doesn't dilute as the codebook
+    grows (the round-8 recall-vs-tier measurement, ANN_RECALL_*.json)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    mod = ivf_mod(table_rows(spark, sf_dir, "embeddings"))  # one memoized count
-    assign = ivf_assignments(spark, emb, mod)
+    n = table_rows(spark, sf_dir, "embeddings")  # one memoized count
+    mod = ivf_mod(n)
+    nprobe = ivf_nprobe(ivf_n_cells(n, mod))
+    assign = ivf_assignments(spark, emb, mod, n)
     cent = emb.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec")
     )
@@ -584,7 +793,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.crossJoin(F.broadcast(qv0))
         .select("cid", l2sq(F.col("cvec"), F.col("qv0")).alias("qdist"))
         .orderBy("qdist", "cid")
-        .limit(IVF_NPROBE)
+        .limit(nprobe)
         .select("cid")
     )
     cand = (

@@ -38,6 +38,8 @@ from rust_etl_spark.operators.similarity import (  # noqa: E402
     embedding_pq_encode,
     ivf_assignments,
     ivf_mod,
+    ivf_n_cells,
+    ivf_nprobe,
 )
 
 N_QUERIES = 50
@@ -69,7 +71,7 @@ def ivf_recall_curve(
     emb = load_table(spark, sf_dir, "embeddings")
     mod = ivf_mod(len(X))
     cid_of = np.empty(len(X), dtype=np.int64)
-    for r in ivf_assignments(spark, emb, mod).collect():
+    for r in ivf_assignments(spark, emb, mod, len(X)).collect():
         cid_of[r["vec_id"]] = r["cid"]
     cents = np.array([i for i in range(len(X)) if i % mod == 0])
     Xc = X[cents]
@@ -134,7 +136,12 @@ def main() -> None:
         tag = os.path.basename(sf_dir.rstrip("/"))
         X = load_corpus(sf_dir)
         mod = ivf_mod(len(X))
-        ivf, n_cells = ivf_recall_curve(spark, sf_dir, X, [1, 2, 4, 8, 16])
+        # measure the historical fixed points AND the scale-aware
+        # default (ivf_nprobe holds the probed fraction ~constant —
+        # round 9; equals 4 at tiers with <= 20 cells).
+        np_default = ivf_nprobe(ivf_n_cells(len(X), mod))
+        nprobes = sorted({1, 2, 4, 8, 16, np_default})
+        ivf, n_cells = ivf_recall_curve(spark, sf_dir, X, nprobes)
         shortlists = [10, 50, 100, 200, 500]
         pq_curve = pq_recall_curve(spark, sf_dir, X, shortlists)
         record = {
@@ -144,6 +151,7 @@ def main() -> None:
             "n_cells": n_cells,
             "n_queries": int(len(query_sample(len(X)))),
             "k": K,
+            "nprobe_default": np_default,
             "ivf_recall_by_nprobe": ivf,
             "pq_rerank_recall_by_shortlist": pq_curve,
             "note": (
