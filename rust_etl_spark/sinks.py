@@ -63,6 +63,43 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_bucketed_fact_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    specs: dict[str, str],
+    *,
+    n_buckets: int = 32,
+    suffix: str = "",
+) -> dict[str, str]:
+    """Materialize bucketed copies of fact tables and return their
+    catalog names ({source_table: catalog_table}).
+
+    ``specs`` maps fixture table -> bucket key (e.g. {"orders":
+    "o_orderkey", "lineitem": "l_orderkey"}). Each table is
+    repartitioned to exactly ``n_buckets`` on the key before the
+    bucketed write so every bucket lands in ONE file — that makes the
+    bucket files globally sorted on the key, letting a downstream
+    sort-merge join skip BOTH the Exchange and the Sort. This is the
+    write-once/join-many layout a 100 TB deployment gives its biggest
+    co-joined facts: the shuffle is paid at ingest, and every
+    subsequent join/agg on the key runs exchange-free (pair with
+    sources.set_layout_override so existing queries pick it up
+    transparently). Cost model: one full shuffle + write per table —
+    amortized after roughly one heavy join.
+    """
+    from pyspark.sql import functions as F
+
+    from rust_etl_spark.sources import load_table
+
+    names: dict[str, str] = {}
+    for tbl, key in specs.items():
+        tname = f"{tbl}_bkt{suffix}"
+        df = load_table(spark, sf_dir, tbl).repartition(n_buckets, F.col(key))
+        write_bucketed_table(df, tname, [key], n_buckets=n_buckets, sort_cols=[key])
+        names[tbl] = tname
+    return names
+
+
 def write_range_partitioned(
     df: DataFrame,
     path: str,

@@ -63,13 +63,44 @@ def normalize_event_time(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
 
 
+#: (abspath(sf_dir), table) -> catalog table name. A physical-layout
+#: override: when a bucketed/sorted copy of a fixture table has been
+#: materialized (sinks.write_bucketed_table), registering it here makes
+#: EVERY catalog query read the optimized layout transparently — the
+#: same move a 100 TB deployment makes by repointing the table in its
+#: metastore; queries never change. Used by
+#: scripts/bucketed_layout_bench.py and tests/test_bucketed_layout.py.
+_LAYOUT_OVERRIDES: dict[tuple[str, str], str] = {}
+
+
+def set_layout_override(sf_dir: str, name: str, table: str | None) -> None:
+    """Point (sf_dir, name) at a catalog table (None clears it)."""
+    key = (os.path.abspath(sf_dir), name)
+    if table is None:
+        _LAYOUT_OVERRIDES.pop(key, None)
+    else:
+        _LAYOUT_OVERRIDES[key] = table
+
+
+def clear_layout_overrides() -> None:
+    _LAYOUT_OVERRIDES.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet scan: pushdown-friendly.
 
     ``events`` goes through :func:`normalize_event_time`, which exposes
     both the exact integer clock (``ts_ns`` BIGINT) and a microsecond
     TimestampType ``ts`` whatever the parquet physical type is.
+
+    A layout override (see ``set_layout_override``) redirects the read
+    to a catalog table — e.g. a bucketed copy whose write-time shuffle
+    replaces every downstream join/agg exchange on the bucket key.
     """
+    override = _LAYOUT_OVERRIDES.get((os.path.abspath(sf_dir), name))
+    if override is not None:
+        df = spark.table(override)
+        return normalize_event_time(df) if name == "events" else df
     if name == "events":
         # Runtime-set so the engine also works on sessions it did not
         # build (the driver constructs its own plain SparkSession).

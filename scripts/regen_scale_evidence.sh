@@ -30,6 +30,8 @@ echo "=== stream_bench ==="
 python scripts/stream_bench.py
 echo "=== curation_bench ==="
 python scripts/curation_bench.py
+echo "=== bucketed_layout_bench ==="
+python scripts/bucketed_layout_bench.py
 
 echo "=== scaling_report ==="
 python scripts/scaling_report.py

@@ -236,6 +236,69 @@ def _curation_section() -> list[str]:
     return lines
 
 
+def _bucketed_section() -> list[str]:
+    """Bucketed co-partitioned layout vs plain parquet, rendered from
+    BUCKETED_BENCH.json (scripts/bucketed_layout_bench.py — VERDICT r8
+    #1: measure the layout move the crossover flag note promises)."""
+    bb = _load("BUCKETED_BENCH.json")
+    if not bb:
+        return []
+    lines = [
+        "## Bucketed co-partitioned layout (the crossover answer, measured)",
+        "",
+        "The flag note above ends with \"at that scale you co-partition/"
+        "bucket orders+lineitem instead\" — this section measures that "
+        "move instead of asserting it. orders+lineitem are written once "
+        "as bucketed, bucket-sorted catalog tables on the orderkey "
+        "(`sinks.write_bucketed_fact_layout`, one file per bucket), the "
+        "fixture tables are repointed at them "
+        "(`sources.set_layout_override` — a metastore repoint; query "
+        "code unchanged), and the SAME shipped queries re-run. "
+        "`tests/test_bucketed_layout.py` locks the plan shapes: the "
+        "bucketed fact-fact join and bucket-key aggregate plan ZERO "
+        "shuffle exchanges while the parquet baseline provably plans "
+        "them.",
+        "",
+        "| tier | query | wall parquet s | wall bucketed s | shufW parquet MB | shufW bucketed MB | exchanges parquet | exchanges bucketed |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for t in bb["tiers"]:
+        for q in t["queries"]:
+            p, b = q["parquet"], q["bucketed"]
+            lines.append(
+                f"| {t['tier']} | {q['query']} | {p['wall_sec']} | {b['wall_sec']} "
+                f"| {p['shuffle_write_mb']} | {b['shuffle_write_mb']} "
+                f"| {p['shuffle_exchanges']} | {b['shuffle_exchanges']} |"
+            )
+    writes = "; ".join(
+        f"{t['tier']}: {t['bucketed_write']['wall_sec']} s / "
+        f"{t['bucketed_write']['shuffle_write_mb']} MB"
+        for t in bb["tiers"]
+    )
+    lines += [
+        "",
+        f"One-off bucketed write (both facts, paid at ingest): {writes}.",
+        "",
+        "Reading: at the 100x tier the per-query shuffle collapses "
+        "~5,000-85,000x (q3 601 MB -> 0.007 MB, join_star 1009 MB -> "
+        "0.013 MB, q18 493 MB -> 0.088 MB) and the orderkey join/agg "
+        "exchanges disappear from the plans entirely; join_star keeps "
+        "its 2 downstream exchanges (customer join + final agg) by "
+        "design. Local wall mostly follows (q3 2.3x, join_star 2.4x "
+        "faster); q18's bucketed wall is SLOWER locally because its "
+        "full-table pre-aggregate trades 43 row-group-grain scan "
+        "splits for 32 bucket-grain ones and loses the two-phase "
+        "partial aggregate — on one machine the shuffle it avoids was "
+        "memory-speed anyway. On a cluster the eliminated bytes cross "
+        "the network: the layout is the difference between a "
+        "per-query half-terabyte shuffle (at 100 TB scale) and none, "
+        "amortized after roughly one join of the write's own "
+        "one-shuffle cost.",
+        "",
+    ]
+    return lines
+
+
 def _streaming_section() -> list[str]:
     """Structured Streaming timing/state evidence, rendered from
     STREAM_BENCH.json (scripts/stream_bench.py)."""
@@ -398,6 +461,7 @@ def main() -> None:
         " sf0.001 / sf0.1 / 10x.",
         "",
     ]
+    out += _bucketed_section()
     out += _curation_section()
     out += _streaming_section()
     out += [

@@ -1,0 +1,160 @@
+"""Bucketed co-partitioned layout: plan-shape locks (VERDICT r8 #1).
+
+The 100x scaling story's last move — "at that scale you co-partition/
+bucket orders+lineitem instead of re-shuffling per query" — must be
+plan-verified, not asserted. These tests materialize the bucketed
+layout at the smoke tier via the SHIPPED writer
+(sinks.write_bucketed_fact_layout), repoint the tables with
+sources.set_layout_override, and assert from the AQE-final executed
+plan that:
+
+* the fact-fact join on the bucket key plans ZERO shuffle exchanges
+  (and the same join over plain parquet DOES plan them — the detector
+  is proven non-vacuous, the round-6 vacuous-lock lesson);
+* a groupBy on the bucket key aggregates with ZERO exchanges;
+* the shipped q18 query strictly REDUCES its exchange count when the
+  layout is repointed, with identical results.
+
+scripts/bucketed_layout_bench.py measures the same three shipped
+queries at the gen tiers (wall + shuffle bytes); SCALING.md renders it.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_etl_spark.plans import catalog
+from rust_etl_spark.sinks import write_bucketed_fact_layout
+from rust_etl_spark.sources import (
+    clear_layout_overrides,
+    load_table,
+    set_layout_override,
+)
+
+SF = "/root/testdata/sf0.001"
+FACTS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+
+def _final_plan(df) -> str:
+    df.collect()  # AQE finalizes the plan on execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange (?:hash|range)partitioning", plan))
+
+
+@pytest.fixture()
+def bucketed(spark):
+    """Bucketed orders+lineitem at the smoke tier, unique table names;
+    overrides NOT set (each test decides); dropped afterwards."""
+    suffix = f"_t{uuid.uuid4().hex[:8]}"
+    names = write_bucketed_fact_layout(spark, SF, FACTS, n_buckets=4, suffix=suffix)
+    try:
+        yield names
+    finally:
+        clear_layout_overrides()
+        for tname in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle joins so the smoke tier exhibits the large-tier
+    SMJ shape (everything broadcasts at sf0.001 otherwise)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_layout_override_routes_load_table(spark, bucketed):
+    base = load_table(spark, SF, "orders")
+    set_layout_override(SF, "orders", bucketed["orders"])
+    try:
+        routed = load_table(spark, SF, "orders")
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        # the scan must come from the catalog table, not the parquet dir
+        # (a BARE scan reports "Bucketed: false (disabled by query
+        # planner)" — Spark only reads bucket-grained when an operator
+        # wants the distribution; the exchange-free tests below pin that)
+        assert bucketed["orders"] in plan, plan
+        assert routed.count() == base.count()
+        assert sorted(routed.columns) == sorted(base.columns)
+    finally:
+        clear_layout_overrides()
+
+
+def test_bucketed_fact_join_is_exchange_free(spark, bucketed, no_broadcast):
+    def join_core(o, li):
+        return (
+            li.select("l_orderkey", "l_quantity")
+            .join(o.select("o_orderkey", "o_totalprice"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"), F.max("o_totalprice").alias("p"))
+        )
+
+    # baseline: plain parquet MUST shuffle (non-vacuous detector)
+    base_plan = _final_plan(
+        join_core(load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem"))
+    )
+    assert _exchanges(base_plan) >= 2, base_plan
+
+    o_bkt = spark.table(bucketed["orders"])
+    li_bkt = spark.table(bucketed["lineitem"])
+    bkt_plan = _final_plan(join_core(o_bkt, li_bkt))
+    # the write-time shuffle replaces every runtime exchange: the join
+    # AND the groupBy on the bucket key are satisfied by the bucketing
+    assert _exchanges(bkt_plan) == 0, bkt_plan
+
+
+def test_bucketed_groupby_on_key_is_exchange_free(spark, bucketed):
+    li_bkt = spark.table(bucketed["lineitem"])
+    plan = _final_plan(
+        li_bkt.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    )
+    assert _exchanges(plan) == 0, plan
+    base = _final_plan(
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert _exchanges(base) >= 1, base
+
+
+def test_shipped_q18_exchange_count_drops_with_layout(spark, bucketed, no_broadcast):
+    """The SHIPPED query, repointed: fewer exchanges, identical rows."""
+    q = catalog.get("q18_large_volume")
+    base_df = q.fn(spark, SF)
+    base_rows = [tuple(r) for r in base_df.collect()]
+    base_plan = base_df._jdf.queryExecution().executedPlan().toString()
+
+    for tbl, tname in bucketed.items():
+        set_layout_override(SF, tbl, tname)
+    try:
+        bkt_df = q.fn(spark, SF)
+        bkt_rows = [tuple(r) for r in bkt_df.collect()]
+        bkt_plan = bkt_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        clear_layout_overrides()
+
+    assert bkt_rows == base_rows
+    assert _exchanges(bkt_plan) < _exchanges(base_plan), (
+        _exchanges(bkt_plan), _exchanges(base_plan), bkt_plan,
+    )
