@@ -86,6 +86,13 @@ def write_bucketed_fact_layout(
     sources.set_layout_override so existing queries pick it up
     transparently). Cost model: one full shuffle + write per table —
     amortized after roughly one heavy join.
+
+    Sizing: bucket-grain scans cannot split files, so ``n_buckets`` IS
+    the layout's scan parallelism — size it to at least 2x the total
+    cores of the biggest expected reader (measured at the 100x tier:
+    a full-table aggregate over 32 buckets on 32 cores ran 1.8x slower
+    than parquet from the single non-overlapping task wave; 64 buckets
+    ran 1.7x faster).
     """
     from pyspark.sql import functions as F
 

@@ -36,7 +36,14 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 UI_PORT = 4048
-N_BUCKETS = 32
+#: 2x the reader's core count: bucket-grain scans can't split files, so
+#: buckets ARE the scan parallelism — at 32 (1x cores) q18's full-table
+#: pre-aggregate ran 1.8x SLOWER than parquet at the 100x tier (one
+#: straggling wave, no overlap); 64 runs it 1.7x FASTER (measured
+#: min-of-3: 5.1 s @32 -> 1.6 s @64 -> 2.0 s @128, parquet 2.8 s).
+#: Cluster translation: size n_buckets >= 2x the total cores the
+#: biggest reader will use.
+N_BUCKETS = 64
 RUNS = 3
 
 TIERS = [

@@ -280,20 +280,21 @@ def _bucketed_section() -> list[str]:
         f"One-off bucketed write (both facts, paid at ingest): {writes}.",
         "",
         "Reading: at the 100x tier the per-query shuffle collapses "
-        "~5,000-85,000x (q3 601 MB -> 0.007 MB, join_star 1009 MB -> "
-        "0.013 MB, q18 493 MB -> 0.088 MB) and the orderkey join/agg "
-        "exchanges disappear from the plans entirely; join_star keeps "
-        "its 2 downstream exchanges (customer join + final agg) by "
-        "design. Local wall mostly follows (q3 2.3x, join_star 2.4x "
-        "faster); q18's bucketed wall is SLOWER locally because its "
-        "full-table pre-aggregate trades 43 row-group-grain scan "
-        "splits for 32 bucket-grain ones and loses the two-phase "
-        "partial aggregate — on one machine the shuffle it avoids was "
-        "memory-speed anyway. On a cluster the eliminated bytes cross "
-        "the network: the layout is the difference between a "
-        "per-query half-terabyte shuffle (at 100 TB scale) and none, "
-        "amortized after roughly one join of the write's own "
-        "one-shuffle cost.",
+        "~2,500-40,000x (q3 601 MB -> 17 KB, join_star 1009 MB -> "
+        "26 KB, q18 493 MB -> 0.2 MB), the orderkey join/agg exchanges "
+        "disappear from the plans entirely, and local wall improves "
+        "2.0-2.7x on every query (join_star keeps its 2 downstream "
+        "exchanges — customer join + final agg — by design). Bucket "
+        "count matters: bucket-grain scans can't split files, so "
+        "n_buckets IS the layout's scan parallelism — the first run at "
+        "32 buckets (1x cores) made q18's full-table pre-aggregate "
+        "1.8x SLOWER than parquet (one non-overlapping task wave); 64 "
+        "buckets (2x cores) turned that into 1.7-2.0x faster (measured "
+        "5.1 s @32 -> 1.6 s @64 -> 2.0 s @128). On a cluster the "
+        "eliminated bytes also cross the network: the layout is the "
+        "difference between a per-query half-terabyte shuffle (at "
+        "100 TB scale) and none, amortized after roughly one join of "
+        "the write's own one-shuffle cost.",
         "",
     ]
     return lines
