@@ -484,13 +484,17 @@ _ASSIGN_SQL = f"""
         ) t WHERE rn = 1
     ),
     vec_super AS (
+        -- multi-probe: each vector considers the children of its TOP-2
+        -- supers, recovering near-boundary assignments a single-super
+        -- probe misses (the IMI/two-level standard); child sets are
+        -- disjoint so no duplicate candidates arise.
         SELECT vec_id, sid FROM (
             SELECT e.vec_id, s.sid,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY {l2sq_sql('e.embedding', 's.svec')}, s.sid) AS rn
             FROM embeddings e CROSS JOIN supers s
-        ) t WHERE rn = 1
+        ) t WHERE rn <= 2
     ),
     assign AS (
         SELECT vec_id, cid, dist FROM (
@@ -533,6 +537,35 @@ def _argmin_over(vec_col, arr_col, id_field: str, vec_field: str):
     )
 
 
+def _argmin2_over(vec_col, arr_col, id_field: str, vec_field: str):
+    """struct(first struct(dist,id), second struct(dist,id)): the TWO
+    nearest array elements, same lexicographic (dist, id) tie-break as
+    :func:`_argmin_over`. One fold; per element the running pair
+    updates as ``first' = least(first, cand)``, ``second' =
+    least(greatest(first, cand), second)`` — the branch-free two-min
+    recurrence. ``second.id`` is -1 when the array has < 2 elements."""
+    inf_pair = lambda: F.struct(  # noqa: E731
+        F.lit(float("inf")).cast("double").alias("dist"),
+        F.lit(-1).cast("long").alias("id"),
+    )
+    init = F.struct(inf_pair().alias("first"), inf_pair().alias("second"))
+    return F.aggregate(
+        arr_col,
+        init,
+        lambda acc, s: (
+            lambda cand: F.struct(
+                F.least(acc["first"], cand).alias("first"),
+                F.least(F.greatest(acc["first"], cand), acc["second"]).alias("second"),
+            )
+        )(
+            F.struct(
+                l2sq(vec_col, s[vec_field]).alias("dist"),
+                s[id_field].cast("long").alias("id"),
+            )
+        ),
+    )
+
+
 def _pack_codebook(cent: DataFrame, id_out: str, vec_out: str, arr_name: str) -> DataFrame:
     """One-row DataFrame holding the codebook as an array of structs —
     the broadcast-literal form every assignment fold consumes. Bounded:
@@ -559,8 +592,11 @@ def assign_to_cells(
     ``super_step`` set -> two-level: supers = centroids with cid %
     super_step == 0; centroids attach to their nearest super
     (broadcast C-row stage), vectors fold over ~sqrt(C) supers, then
-    over the winning super's ~sqrt(C) children via a broadcast join —
-    still zero shuffle on the vector side, per-vector work ~2*sqrt(C).
+    over the TOP-2 supers' ~2*sqrt(C) children via broadcast joins
+    (multi-probe: near-boundary vectors recover the neighbor-super
+    child a single probe misses — the IMI standard; child sets are
+    disjoint so the union has no duplicates) — still zero shuffle on
+    the vector side, per-vector work ~3*sqrt(C).
 
     ``keep_vec`` carries the input vector through as column ``v`` (for
     callers like the Lloyd mean that need (cid, v) without re-joining
@@ -583,13 +619,34 @@ def assign_to_cells(
         kids = cent_super.groupBy("sid").agg(
             F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("kids")
         )
+        top2 = _argmin2_over(F.col("v"), F.col("sups"), "sid", "svec")
         vec_super = vdf.crossJoin(F.broadcast(sup_arr)).select(
             "vec_id", "v",
-            _argmin_over(F.col("v"), F.col("sups"), "sid", "svec")["id"].alias("sid"),
+            top2["first"]["id"].alias("sid"),
+            top2["second"]["id"].alias("sid2"),
         )
-        best = vec_super.join(F.broadcast(kids), "sid").select(
-            "vec_id", *extra,
-            _argmin_over(F.col("v"), F.col("kids"), "cid", "cvec").alias("m"),
+        kids2 = kids.select(F.col("sid").alias("sid2"), F.col("kids").alias("kids2"))
+        # left join: sid2 is -1 when only one super exists
+        best = (
+            vec_super.join(F.broadcast(kids), "sid")
+            .join(F.broadcast(kids2), "sid2", "left")
+            .select(
+                "vec_id", *extra,
+                _argmin_over(
+                    F.col("v"),
+                    F.concat(
+                        F.col("kids"),
+                        F.coalesce(
+                            F.col("kids2"),
+                            F.expr("array()").cast(
+                                "array<struct<cid:bigint,cvec:array<double>>>"
+                            ),
+                        ),
+                    ),
+                    "cid",
+                    "cvec",
+                ).alias("m"),
+            )
         )
     return best.select(
         "vec_id", *extra, F.col("m.id").alias("cid"), F.col("m.dist").alias("dist")

@@ -300,10 +300,10 @@ def test_tier_ivf_recall_curve(spark):
     # sf0.1 20%-fraction anchor at EVERY tier — the round-8 dilution
     # (fixed nprobe=16: 0.958 -> 0.732 as cells grew 20 -> 200) is what
     # this derivation exists to prevent. Measured round 9: sf0.1 0.448,
-    # gen_sf1 0.642, gen_sf3 0.800, gen_sf10 0.808 (ANN_RECALL_*.json;
+    # gen_sf1 0.642, gen_sf3 0.800, gen_sf10 0.832 (ANN_RECALL_*.json;
     # the big tiers IMPROVE on the anchor because 20% of more, smaller
     # cells is a sharper probe set — and that holds even with the
-    # round-9 hierarchical assignment active at 100x).
+    # round-9 top-2-super hierarchical assignment active at 100x).
     assert curve[np_default] >= 0.40, (np_default, curve)
 
 
