@@ -93,6 +93,15 @@ def write_bucketed_fact_layout(
     a full-table aggregate over 32 buckets on 32 cores ran 1.8x slower
     than parquet from the single non-overlapping task wave; 64 buckets
     ran 1.7x faster).
+
+    Sort elimination: because every bucket is exactly one sorted file,
+    readers may also set
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` to have
+    sort-merge joins consume the write-time order directly — zero
+    exchanges AND zero sorts, a fully pipelined merge join from disk
+    (plan-locked in tests/test_bucketed_layout.py). The conf is off by
+    default in Spark only because it pins read parallelism to
+    one-file-per-bucket, which this writer guarantees anyway.
     """
     from pyspark.sql import functions as F
 

@@ -124,6 +124,26 @@ def test_bucketed_fact_join_is_exchange_free(spark, bucketed, no_broadcast):
     assert _exchanges(bkt_plan) == 0, bkt_plan
 
 
+def test_bucketed_join_sort_elimination(spark, bucketed, no_broadcast):
+    """With spark.sql.legacy.bucketedTableScan.outputOrdering=true the
+    sort-merge join consumes the WRITE-TIME sort directly: zero
+    exchanges AND zero sorts — a fully pipelined merge join from disk.
+    The conf is off by default because respecting ordering pins read
+    parallelism to one-file-per-bucket; write_bucketed_fact_layout
+    guarantees exactly that (repartition-to-n_buckets before the
+    write), so the layout can opt in safely."""
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(key, "true")
+    try:
+        o = spark.table(bucketed["orders"]).select("o_orderkey", "o_totalprice")
+        li = spark.table(bucketed["lineitem"]).select("l_orderkey", "l_quantity")
+        plan = _final_plan(li.join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+        assert _exchanges(plan) == 0, plan
+        assert len(re.findall(r"\bSort \[", plan)) == 0, plan
+    finally:
+        spark.conf.unset(key)
+
+
 def test_bucketed_groupby_on_key_is_exchange_free(spark, bucketed):
     li_bkt = spark.table(bucketed["lineitem"])
     plan = _final_plan(
