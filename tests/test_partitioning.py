@@ -34,14 +34,20 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     orders = load_table(spark, SF, "orders")
     cust = load_table(spark, SF, "customer")
-    write_bucketed_table(orders, "b_orders", ["o_custkey"], n_buckets=4)
-    write_bucketed_table(
-        cust.withColumnRenamed("c_custkey", "o_custkey"), "b_cust", ["o_custkey"], n_buckets=4
-    )
-    j = read_table(spark, "b_orders").join(read_table(spark, "b_cust"), "o_custkey")
-    plan = _plan(j)
-    assert "Exchange hashpartitioning" not in plan, "bucketed join must not reshuffle"
-    assert j.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    try:
+        write_bucketed_table(orders, "b_orders", ["o_custkey"], n_buckets=4)
+        write_bucketed_table(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "b_cust", ["o_custkey"], n_buckets=4
+        )
+        j = read_table(spark, "b_orders").join(read_table(spark, "b_cust"), "o_custkey")
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan, "bucketed join must not reshuffle"
+        assert j.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    finally:
+        # drop the managed tables so the gitignored warehouse dir does
+        # not accumulate per-run leftovers
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
 
 
 def test_zordered_write_clusters_both_dimensions(spark, tmp_path):
