@@ -626,22 +626,24 @@ def assign_to_cells(
             top2["second"]["id"].alias("sid2"),
         )
         kids2 = kids.select(F.col("sid").alias("sid2"), F.col("kids").alias("kids2"))
-        # left join: sid2 is -1 when only one super exists
+        # BOTH kid joins are LEFT joins with empty-array coalesce: sid2 is
+        # -1 when only one super exists, and sid's own child set can be
+        # EMPTY when two supers share an identical vector (the higher-id
+        # duplicate attaches to the lower-id super instead of itself) — an
+        # inner join here would silently drop every vector nearest that
+        # childless super, diverging from the oracle, which keeps those
+        # vectors via the second super's children.
+        empty_kids = F.expr("array()").cast("array<struct<cid:bigint,cvec:array<double>>>")
         best = (
-            vec_super.join(F.broadcast(kids), "sid")
+            vec_super.join(F.broadcast(kids), "sid", "left")
             .join(F.broadcast(kids2), "sid2", "left")
             .select(
                 "vec_id", *extra,
                 _argmin_over(
                     F.col("v"),
                     F.concat(
-                        F.col("kids"),
-                        F.coalesce(
-                            F.col("kids2"),
-                            F.expr("array()").cast(
-                                "array<struct<cid:bigint,cvec:array<double>>>"
-                            ),
-                        ),
+                        F.coalesce(F.col("kids"), empty_kids),
+                        F.coalesce(F.col("kids2"), empty_kids),
                     ),
                     "cid",
                     "cvec",

@@ -116,3 +116,24 @@ def test_documented_counts_match_registry():
             assert m.group(1) == str(n_total) and m.group(2) == str(n_oracled), (
                 f"{name} stale count: {m.group(0)!r}"
             )
+
+
+def test_recall_row_tolerates_missing_default_point():
+    """A stale/hand-trimmed ANN_RECALL record whose curve lacks its own
+    nprobe_default point must render n/a, not TypeError the whole
+    CATALOG.md render (ADVICE round 9)."""
+    from rust_etl_spark.plans.catalog_doc import _recall_row
+
+    rec = {
+        "tier": "t",
+        "n_vectors": 10,
+        "ivf_mod": 100,
+        "n_cells": 4,
+        "nprobe_default": 16,
+        "ivf_recall_by_nprobe": {"4": 0.5},  # no "16" point
+        "pq_rerank_recall_by_shortlist": {"10": 0.9},
+    }
+    row = _recall_row(rec)
+    assert "**n/a**" in row and "0.50" in row
+    rec["ivf_recall_by_nprobe"]["16"] = 0.75
+    assert "**0.75**" in _recall_row(rec)

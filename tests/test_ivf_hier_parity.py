@@ -76,3 +76,51 @@ def test_hierarchical_oracle_parity(spark, hier_sf_dir, name):
     assert len(oracle) > 0
     errs = compare(q.fn(spark, hier_sf_dir), oracle)
     assert not errs, errs
+
+
+@pytest.fixture(scope="module")
+def dup_super_sf_dir(tmp_path_factory) -> str:
+    """Corpus where two SUPER centroids share an identical vector.
+
+    vec_ids 0 and 800 are both supers at this shape (mod 100, super
+    step 800); making them bit-identical means centroid 800 attaches
+    to super 0 (lower-id tie-break), leaving super 800 with an EMPTY
+    child set — the childless-super structure the assignment's kid
+    joins must survive. Both engines tie-break (dist, id) ascending,
+    so no vector's TOP-1 super is ever the higher-id duplicate, but an
+    inner `kids` join would still be one refactor away from dropping
+    rows; this fixture pins totality + oracle parity on the exact
+    structure (ADVICE round 9)."""
+    rng = np.random.default_rng(10)
+    centers = rng.normal(size=(20, DIMS))
+    X = (centers[rng.integers(0, 20, N)] + 0.3 * rng.normal(size=(N, DIMS))).astype(
+        np.float32
+    )
+    X[800] = X[0]  # duplicate supers -> super 800 childless
+    d = str(tmp_path_factory.mktemp("dup_super_sf"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N), pa.int64()),
+                "embedding": pa.array([row for row in X.tolist()], pa.list_(pa.float32())),
+                "label": pa.array([i % 5 for i in range(N)], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+def test_childless_super_totality_and_parity(spark, dup_super_sf_dir):
+    q = catalog.get("ivf_assign")
+    res = q.fn(spark, dup_super_sf_dir)
+    got = res.toPandas()
+    # totality: no vector silently dropped by the childless super
+    assert len(got) == N
+    assert got["vec_id"].nunique() == N
+    con = duckdb.connect()
+    path = os.path.join(dup_super_sf_dir, "embeddings.parquet")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    oracle = con.execute(q.oracle).fetchdf()
+    errs = compare(res, oracle)
+    assert not errs, errs
