@@ -74,6 +74,38 @@ FLAG_NOTES = {
     ),
 }
 
+#: Investigation notes for each extra tier's "worst single query" line
+#: (VERDICT r9 #2: the 10x flag notes had this discipline; the other
+#: tiers' worst queries were named but never investigated). Keyed by
+#: (tier label, query); rendered under the tier line.
+MID_TIER_WORST_NOTES = {
+    ("3x", "pii_pseudonymize"): (
+        "2.2x wall for 3x rows — SUB-linear; worst only because every "
+        "other query at this tier is flatter (fixed-overhead-dominated "
+        "sub-second baselines). At 30x the same query is 1.1x. Closed."
+    ),
+    ("30x", "fuzzy_blocked_match"): (
+        "6.9x wall for 30x rows — sub-linear, and this tier is where "
+        "`fuzzy_block_len` steps L=3 -> 4 so block occupancy resets; "
+        "the scale-aware key is doing its job. Closed."
+    ),
+    ("100x", "events_range_join"): (
+        "20.2x wall for 100x rows — sub-linear endpoint-to-endpoint, "
+        "and the endpoint ratio overstates it: the sf0.1 baseline is "
+        "sub-second fixed-overhead. Round-10 quiet min-of-3 "
+        "re-measure (host-contention protocol): 1.12 s sf0.1 / 1.65 s "
+        "10x / 10.57 s 100x, linear within the gen tiers; executedPlan "
+        "IDENTICAL at all three (2 Exchange / 1 BroadcastHashJoin / 0 "
+        "SMJ — the signup side broadcasts, the exploded 2N-row follow "
+        "side never shuffles; both exchanges are the signup_id "
+        "partial aggregate, 15.7 MB at 100x). Compute-bound in the "
+        "day-bucket explode+filter folds by design. On a cluster where "
+        "signups outgrow the broadcast threshold the join degrades to "
+        "an SMJ on (user_id, day-bucket) whose per-key fan-out is "
+        "bounded at one user-day — the designed fallback. Closed."
+    ),
+}
+
 #: Watch list: queries BELOW the flag thresholds whose tier ratio moved
 #: between rounds and was re-measured; the note records the evidence so
 #: the next drift is judged against a quiet-machine anchor, not a noisy
@@ -158,6 +190,9 @@ def _mid_tier_section(b0: dict, b1: dict) -> list[str]:
         if spill is not None:
             line += f"; spilled queries: {spill}"
         lines.append(line + ".")
+        note = MID_TIER_WORST_NOTES.get((label, worst_q))
+        if note:
+            lines.append(f"  - `{worst_q}` investigated: {note}")
     lines += [
         "",
         "The density-artifact operators found at the gen tiers are all",
@@ -191,16 +226,26 @@ def _mid_tier_section(b0: dict, b1: dict) -> list[str]:
         "  spill, wall 16.2 -> 12.8 s; sf0.1 headline unchanged at",
         "  14.1 s). Cluster translation: advisory size ~= executor",
         "  memory * fraction / cores / ~5, not a constant.",
-        "- the exact-IVF family (`similarity_ann_ivf` ~19 s,",
-        "  `kmeans_iterate` ~25-50 s at 100x — the tier's wall-worst",
-        "  queries, both zero shuffle growth / zero spill): the exact",
-        "  argmin assignment is N x C distance folds and C = N/MOD",
-        "  grows linearly within a MOD decade, so assignment is",
-        "  O(N^1.5) by design (the standard exact-IVF trade; MOD steps",
-        "  a decade at N > 10^6 and C falls back to ~N/MOD). At cluster",
-        "  scale the N x C stage is embarrassingly parallel and",
-        "  map-side only; real deployments swap in approximate or",
-        "  hierarchical assignment when N^1.5 binds.",
+        "- the IVF assignment family (`similarity_ann_ivf`,",
+        "  `kmeans_iterate`): through round 8 the exact flat argmin was",
+        "  N x C distance folds with C = N/MOD growing linearly within",
+        "  a MOD decade — O(N^1.5), and the 100x tier's wall-worst",
+        "  queries (~19 s / 25-50 s). Round 9 SHIPPED the hierarchical",
+        "  swap that note used to defer to \"real deployments\": above",
+        "  64 cells assignment goes two-level (supers = every",
+        "  `ivf_super_factor`-th centroid, ~sqrt(C) of them), each",
+        "  vector folds over the supers then over its TOP-2 supers'",
+        "  children (IMI-style multi-probe) — O(N^1.25) total, still",
+        "  zero vector-side shuffle (in-row folds over broadcast",
+        "  codebook arrays), mirrored integer-for-integer in the DuckDB",
+        "  oracle (f=1 at every graded tier <= 30x, so graded results",
+        "  stay bit-identical; hierarchy-active parity is pinned by",
+        "  tests/test_ivf_hier_parity.py). Measured at 100x:",
+        "  similarity_ann_ivf ~19 -> 10.6 s, kmeans_iterate 25-50 ->",
+        "  6.9 s (SCALE_AUDIT_gen_sf10.md), both zero spill. The",
+        "  residual trade — hierarchical assignment is approximate at",
+        "  cell boundaries — is quantified in CATALOG.md's recall",
+        "  appendix and recovered by the scaled `ivf_nprobe` default.",
         "",
     ]
     return lines
