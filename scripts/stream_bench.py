@@ -110,8 +110,8 @@ def _drive(plan, mode: str) -> dict:
             "state_rows": state_rows, "state_mb": state_mb}
 
 
-def _stream(spark, watch: str, schema):
-    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(watch)
+def _stream(spark, watch: str, schema, mfpt: int = 1):
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", mfpt).parquet(watch)
     return normalize_event_time(s)
 
 
@@ -152,6 +152,24 @@ def profile_stateful_profiles(spark, watch, schema):
     return _drive(out, "update")
 
 
+def profile_stateful_profiles_t8(spark, watch, schema):
+    """Same stateful operator, trigger sized so all N_FILES files land
+    in ONE micro-batch. The applyInPandasWithState cost is per
+    KEY-UPDATE (~90 us each: per-group Arrow framing + GroupState round
+    trip + a 1-row pandas output — measured invariant across batch
+    sizes; the Python body itself is ~200 us single-threaded and NOT
+    the bottleneck: numpy-body / maxRecordsPerBatch variants moved
+    nothing). With maxFilesPerTrigger=1 every user re-updates in every
+    micro-batch, so an 8-trigger drain pays 8x the key-updates for the
+    same rows — at the 100x tier that is 95k rows/s vs 716k rows/s for
+    the identical operator with one right-sized trigger (JVM-native
+    parity). The deployment rule this row documents: size triggers so
+    rows-per-key-per-trigger stays high (e.g. trigger interval >> key
+    revisit interval); the per-key tax is then amortized to noise."""
+    out = user_profiles_stream(_stream(spark, watch, schema, mfpt=N_FILES))
+    return _drive(out, "update")
+
+
 def main() -> None:
     from rust_etl_spark.session import get_spark
 
@@ -170,6 +188,7 @@ def main() -> None:
             ("session_window", profile_session_window, watch1, n1),
             ("dedup", profile_dedup, watch2, n2),
             ("stateful_profiles", profile_stateful_profiles, watch1, n1),
+            ("stateful_profiles_t8", profile_stateful_profiles_t8, watch1, n1),
         ]
         for name, fn, watch, n in profiles:
             m = fn(spark, watch, schema)
@@ -197,7 +216,12 @@ def main() -> None:
             "stateful_profiles exactly one (count,total,last_ts) triple "
             "per user forever (NoTimeout by design: profiles are "
             "permanent); state_rows/state_mb columns are the measured "
-            "final state-store sizes."
+            "final state-store sizes. stateful_profiles_t8 is the SAME "
+            "operator with the trigger sized to one micro-batch: the "
+            "Python-state path's cost is ~90 us per KEY-UPDATE (not per "
+            "row), so per-key-per-trigger amortization — not body or "
+            "Arrow tuning, both measured flat — is the throughput lever "
+            "(95k -> 716k rows/s at the 100x tier)."
         ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
