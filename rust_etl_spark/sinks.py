@@ -75,10 +75,14 @@ def write_bucketed_fact_layout(
     catalog names ({source_table: catalog_table}).
 
     ``specs`` maps fixture table -> bucket key (e.g. {"orders":
-    "o_orderkey", "lineitem": "l_orderkey"}). Each table is
+    "o_orderkey", "lineitem": "l_orderkey"}) or -> ``(bucket_key,
+    sort_cols)`` when the write-time order should be a COMPOUND key —
+    e.g. events bucketed on user_id but sorted (user_id, ts_ns,
+    event_id), so every per-user window over the event clock consumes
+    the write-time order too. Each table is
     repartitioned to exactly ``n_buckets`` on the key before the
     bucketed write so every bucket lands in ONE file — that makes the
-    bucket files globally sorted on the key, letting a downstream
+    bucket files globally sorted on the sort key, letting a downstream
     sort-merge join skip BOTH the Exchange and the Sort. This is the
     write-once/join-many layout a 100 TB deployment gives its biggest
     co-joined facts: the shuffle is paid at ingest, and every
@@ -108,10 +112,11 @@ def write_bucketed_fact_layout(
     from rust_etl_spark.sources import load_table
 
     names: dict[str, str] = {}
-    for tbl, key in specs.items():
+    for tbl, spec in specs.items():
+        key, sort_cols = (spec, [spec]) if isinstance(spec, str) else (spec[0], list(spec[1]))
         tname = f"{tbl}_bkt{suffix}"
         df = load_table(spark, sf_dir, tbl).repartition(n_buckets, F.col(key))
-        write_bucketed_table(df, tname, [key], n_buckets=n_buckets, sort_cols=[key])
+        write_bucketed_table(df, tname, [key], n_buckets=n_buckets, sort_cols=sort_cols)
         names[tbl] = tname
     return names
 

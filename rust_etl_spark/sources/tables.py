@@ -42,6 +42,11 @@ def normalize_event_time(df: DataFrame) -> DataFrame:
     tolerates upstream physical-type drift instead of hard-failing.
     All expressions here are streaming-safe (no window/agg).
     """
+    if "ts_ns" in df.columns:
+        # Already normalized (e.g. a materialized bucketed copy of the
+        # normalized table, re-read through a layout override). Re-deriving
+        # ts_ns from the microsecond ts would TRUNCATE the exact ns clock.
+        return df
     dt = df.schema["ts"].dataType
     if isinstance(dt, T.LongType):
         # TIMESTAMP(NANOS) vintage via nanosAsLong: the long IS epoch ns.

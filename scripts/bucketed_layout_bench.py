@@ -21,7 +21,13 @@ SCALING.md's "Bucketed layout" section. tests/test_bucketed_layout.py
 locks the plan shape (exchange-free bucketed join/agg, exchange-full
 parquet baseline) at the fixture scale.
 
-Run:  python scripts/bucketed_layout_bench.py     (gen_sf1 + gen_sf3, ~10 min)
+Round 10 adds a SECOND key family (VERDICT r9 #5): events bucketed on
+user_id with a compound (user_id, ts_ns, event_id) write-time sort —
+the sessionize/funnel/retention shuffle surface — measured at
+gen_sf1 + gen_sf3; proves the mechanism generalizes beyond the
+orderkey pair.
+
+Run:  python scripts/bucketed_layout_bench.py     (~15-20 min, QUIET machine)
 """
 
 from __future__ import annotations
@@ -46,16 +52,37 @@ UI_PORT = 4048
 N_BUCKETS = 64
 RUNS = 3
 
-TIERS = [
-    ("gen_sf1", "/root/repo/gen_sf1"),
-    ("gen_sf3", "/root/repo/gen_sf3"),
-    # 100x: where the broadcast->SMJ crossover fully arrives (q3's
-    # shuffle steps to ~600 MB as customer outgrows the threshold;
-    # SCALING.md flag note) — the tier the bucketed layout exists for.
-    ("gen_sf10", "/root/repo/gen_sf10"),
+TIER_DIRS = {
+    "gen_sf1": "/root/repo/gen_sf1",
+    "gen_sf3": "/root/repo/gen_sf3",
+    "gen_sf10": "/root/repo/gen_sf10",
+}
+
+#: Two key families prove the writer+override mechanism generalizes
+#: (VERDICT r9 #5): the orderkey fact pair, and a user_id-bucketed
+#: events layout whose compound write-time sort (user_id, ts_ns,
+#: event_id) matches the per-user windows' required ordering.
+FAMILIES = [
+    {
+        "family": "orderkey",
+        "facts": {"orders": "o_orderkey", "lineitem": "l_orderkey"},
+        "queries": ["q3_shipping_priority", "q18_large_volume", "join_star"],
+        # 100x: where the broadcast->SMJ crossover fully arrives (q3's
+        # shuffle steps to ~600 MB as customer outgrows the threshold;
+        # SCALING.md flag note) — the tier the bucketed layout exists for.
+        "tiers": ["gen_sf1", "gen_sf3", "gen_sf10"],
+    },
+    {
+        "family": "events_user",
+        "facts": {"events": ("user_id", ["user_id", "ts_ns", "event_id"])},
+        # all three shuffle user_id first: sessionize (window + session
+        # agg), funnel (three per-user conditional-min stages), retention
+        # (per-user first-seen window); their remaining small exchanges
+        # (cohort/final rollups) are not on the bucket key by design.
+        "queries": ["events_sessionize", "events_funnel", "events_retention"],
+        "tiers": ["gen_sf1", "gen_sf3"],
+    },
 ]
-QUERIES = ["q3_shipping_priority", "q18_large_volume", "join_star"]
-FACTS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 
 
 def _stages(app_id: str) -> list[dict]:
@@ -115,83 +142,100 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     seen: set[int] = set()
 
-    tiers_out = []
-    for tag, sf_dir in TIERS:
-        if not os.path.isdir(sf_dir):
-            print(f"skip {tag}: {sf_dir} missing")
-            continue
-        base = {}
-        for name in QUERIES:
-            base[name] = _measure(spark, app_id, seen, name, sf_dir)
-            print(f"{tag} parquet   {name:24s} {base[name]}", flush=True)
+    families_out = []
+    for fam in FAMILIES:
+        queries, facts = fam["queries"], fam["facts"]
+        tiers_out = []
+        for tag in fam["tiers"]:
+            sf_dir = TIER_DIRS[tag]
+            if not os.path.isdir(sf_dir):
+                print(f"skip {tag}: {sf_dir} missing")
+                continue
+            base = {}
+            for name in queries:
+                base[name] = _measure(spark, app_id, seen, name, sf_dir)
+                print(f"{fam['family']} {tag} parquet   {name:24s} {base[name]}", flush=True)
 
-        writes = {}
-        t0 = time.perf_counter()
-        seen.update(s["stageId"] for s in _stages(app_id))
-        names = write_bucketed_fact_layout(
-            spark, sf_dir, FACTS, n_buckets=N_BUCKETS, suffix=f"_{tag}"
-        )
-        new = [s for s in _stages(app_id) if s["stageId"] not in seen]
-        seen.update(s["stageId"] for s in new)
-        writes = {
-            "wall_sec": round(time.perf_counter() - t0, 3),
-            "shuffle_write_mb": round(
-                sum(s.get("shuffleWriteBytes", 0) for s in new) / 1e6, 3
-            ),
-        }
-        print(f"{tag} bucketed write (both facts): {writes}", flush=True)
+            t0 = time.perf_counter()
+            seen.update(s["stageId"] for s in _stages(app_id))
+            names = write_bucketed_fact_layout(
+                spark, sf_dir, facts, n_buckets=N_BUCKETS,
+                suffix=f"_{fam['family']}_{tag}",
+            )
+            new = [s for s in _stages(app_id) if s["stageId"] not in seen]
+            seen.update(s["stageId"] for s in new)
+            writes = {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "shuffle_write_mb": round(
+                    sum(s.get("shuffleWriteBytes", 0) for s in new) / 1e6, 3
+                ),
+            }
+            print(f"{fam['family']} {tag} bucketed write: {writes}", flush=True)
 
-        for tbl, tname in names.items():
-            set_layout_override(sf_dir, tbl, tname)
-        try:
-            bkt = {}
-            for name in QUERIES:
-                bkt[name] = _measure(spark, app_id, seen, name, sf_dir)
-                print(f"{tag} bucketed  {name:24s} {bkt[name]}", flush=True)
-        finally:
-            clear_layout_overrides()
-            for tname in names.values():
-                spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            for tbl, tname in names.items():
+                set_layout_override(sf_dir, tbl, tname)
+            try:
+                bkt = {}
+                for name in queries:
+                    bkt[name] = _measure(spark, app_id, seen, name, sf_dir)
+                    print(f"{fam['family']} {tag} bucketed  {name:24s} {bkt[name]}", flush=True)
+            finally:
+                clear_layout_overrides()
+                for tname in names.values():
+                    spark.sql(f"DROP TABLE IF EXISTS {tname}")
 
-        tiers_out.append(
+            tiers_out.append(
+                {
+                    "tier": tag,
+                    "n_buckets": N_BUCKETS,
+                    "bucketed_write": writes,
+                    "queries": [
+                        {"query": n, "parquet": base[n], "bucketed": bkt[n]}
+                        for n in queries
+                    ],
+                }
+            )
+        families_out.append(
             {
-                "tier": tag,
-                "n_buckets": N_BUCKETS,
-                "bucketed_write": writes,
-                "queries": [
-                    {
-                        "query": n,
-                        "parquet": base[n],
-                        "bucketed": bkt[n],
-                    }
-                    for n in QUERIES
-                ],
+                "family": fam["family"],
+                "facts": {
+                    t: (s if isinstance(s, str) else {"bucket": s[0], "sort": s[1]})
+                    for t, s in facts.items()
+                },
+                "queries": queries,
+                "tiers": tiers_out,
             }
         )
 
     record = {
         "metric": "bucketed_layout_vs_parquet",
-        "queries": QUERIES,
-        "facts": FACTS,
         "runs_per_point": RUNS,
-        "tiers": tiers_out,
+        "families": families_out,
         "note": (
             "Same shipped catalog queries both times; the bucketed runs "
-            "read orders/lineitem repointed (sources.set_layout_override) "
-            "at bucketed, bucket-sorted catalog tables written once by "
+            "read the family's fact tables repointed "
+            "(sources.set_layout_override) at bucketed, bucket-sorted "
+            "catalog tables written once by "
             "sinks.write_bucketed_fact_layout. shuffle_exchanges counts "
             "'Exchange hash/rangepartitioning' nodes in the AQE-final "
             "plan; shuffle_write_mb is stage-attributed to exactly one "
             "execution. The one-off bucketed write's cost is reported "
             "separately — at 100 TB it is paid at ingest and amortized "
-            "over every subsequent orderkey join/agg."
+            "over every subsequent join/agg on the bucket key. Two "
+            "families: orderkey (orders+lineitem co-bucketed) and "
+            "events_user (events bucketed user_id, sorted (user_id, "
+            "ts_ns, event_id) so per-user windows consume the "
+            "write-time order)."
         ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BUCKETED_BENCH.json"), "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")
-    print(f"wrote BUCKETED_BENCH.json ({len(tiers_out)} tiers)")
+    print(
+        "wrote BUCKETED_BENCH.json "
+        f"({', '.join(f['family'] + ':' + str(len(f['tiers'])) + ' tiers' for f in families_out)})"
+    )
 
 
 if __name__ == "__main__":

@@ -304,25 +304,31 @@ def _bucketed_section() -> list[str]:
         "shuffle exchanges while the parquet baseline provably plans "
         "them.",
         "",
-        "| tier | query | wall parquet s | wall bucketed s | shufW parquet MB | shufW bucketed MB | exchanges parquet | exchanges bucketed |",
-        "|---|---|---|---|---|---|---|---|",
+        "| family | tier | query | wall parquet s | wall bucketed s | shufW parquet MB | shufW bucketed MB | exchanges parquet | exchanges bucketed |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    for t in bb["tiers"]:
-        for q in t["queries"]:
-            p, b = q["parquet"], q["bucketed"]
-            lines.append(
-                f"| {t['tier']} | {q['query']} | {p['wall_sec']} | {b['wall_sec']} "
-                f"| {p['shuffle_write_mb']} | {b['shuffle_write_mb']} "
-                f"| {p['shuffle_exchanges']} | {b['shuffle_exchanges']} |"
-            )
+    families = bb.get("families") or [
+        {"family": "orderkey", "tiers": bb.get("tiers", [])}
+    ]
+    for fam in families:
+        for t in fam["tiers"]:
+            for q in t["queries"]:
+                p, b = q["parquet"], q["bucketed"]
+                lines.append(
+                    f"| {fam['family']} | {t['tier']} | {q['query']} "
+                    f"| {p['wall_sec']} | {b['wall_sec']} "
+                    f"| {p['shuffle_write_mb']} | {b['shuffle_write_mb']} "
+                    f"| {p['shuffle_exchanges']} | {b['shuffle_exchanges']} |"
+                )
     writes = "; ".join(
-        f"{t['tier']}: {t['bucketed_write']['wall_sec']} s / "
+        f"{fam['family']}/{t['tier']}: {t['bucketed_write']['wall_sec']} s / "
         f"{t['bucketed_write']['shuffle_write_mb']} MB"
-        for t in bb["tiers"]
+        for fam in families
+        for t in fam["tiers"]
     )
     lines += [
         "",
-        f"One-off bucketed write (both facts, paid at ingest): {writes}.",
+        f"One-off bucketed writes (paid at ingest): {writes}.",
         "",
         "Reading: at the 100x tier the per-query shuffle collapses "
         "~2,500-40,000x (q3 601 MB -> 17 KB, join_star 1009 MB -> "

@@ -178,3 +178,105 @@ def test_shipped_q18_exchange_count_drops_with_layout(spark, bucketed, no_broadc
     assert _exchanges(bkt_plan) < _exchanges(base_plan), (
         _exchanges(bkt_plan), _exchanges(base_plan), bkt_plan,
     )
+
+
+# ---------------------------------------------------------------------
+# Second key family (VERDICT r9 #5): user-bucketed EVENTS. The events
+# surface shuffles user/day keys in every sessionize/asof/range query;
+# these locks prove the same writer+override mechanism generalizes
+# beyond the orderkey pair — a user_id-bucketed, (user_id, ts_ns,
+# event_id)-sorted events layout makes per-user windows AND the
+# user-keyed aggregates that follow them exchange-free, and with
+# write-time-order consumption the window's Sort disappears too.
+# ---------------------------------------------------------------------
+
+EVENTS_SPEC = {"events": ("user_id", ["user_id", "ts_ns", "event_id"])}
+
+
+@pytest.fixture()
+def bucketed_events(spark):
+    suffix = f"_t{uuid.uuid4().hex[:8]}"
+    names = write_bucketed_fact_layout(spark, SF, EVENTS_SPEC, n_buckets=4, suffix=suffix)
+    try:
+        yield names
+    finally:
+        clear_layout_overrides()
+        for tname in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_user_bucketed_window_is_exchange_free(spark, bucketed_events):
+    from pyspark.sql.window import Window
+
+    def sessionish(ev):
+        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        return (
+            ev.select("user_id", "event_id", "ts_ns")
+            .withColumn("prev_ns", F.lag("ts_ns").over(w))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    # parquet baseline MUST shuffle (non-vacuous detector)
+    base_plan = _final_plan(sessionish(load_table(spark, SF, "events")))
+    assert _exchanges(base_plan) >= 1, base_plan
+
+    ev_bkt = load_table_via_override(spark, bucketed_events)
+    plan = _final_plan(sessionish(ev_bkt))
+    # bucketing satisfies the window's ClusteredDistribution(user_id)
+    # AND the downstream groupBy(user_id): zero exchanges end-to-end
+    assert _exchanges(plan) == 0, plan
+
+
+def load_table_via_override(spark, names):
+    set_layout_override(SF, "events", names["events"])
+    try:
+        return load_table(spark, SF, "events")
+    finally:
+        clear_layout_overrides()
+
+
+def test_user_bucketed_window_sort_elimination(spark, bucketed_events):
+    """The compound write-time sort (user_id, ts_ns, event_id) is the
+    window's exact required ordering, so with write-time-order
+    consumption the per-user window plans zero Exchange AND zero Sort."""
+    from pyspark.sql.window import Window
+
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(key, "true")
+    try:
+        ev = load_table_via_override(spark, bucketed_events)
+        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        df = ev.select("user_id", "event_id", "ts_ns").withColumn(
+            "prev_ns", F.lag("ts_ns").over(w)
+        )
+        plan = _final_plan(df)
+        assert _exchanges(plan) == 0, plan
+        assert len(re.findall(r"\bSort \[", plan)) == 0, plan
+    finally:
+        spark.conf.unset(key)
+
+
+@pytest.mark.parametrize("name", ["events_sessionize", "events_funnel"])
+def test_shipped_events_queries_drop_exchanges_with_layout(
+    spark, bucketed_events, no_broadcast, name
+):
+    """The SHIPPED user-keyed events queries, repointed: fewer
+    exchanges, identical rows."""
+    q = catalog.get(name)
+    base_df = q.fn(spark, SF)
+    base_rows = sorted(tuple(r) for r in base_df.collect())
+    base_plan = base_df._jdf.queryExecution().executedPlan().toString()
+
+    set_layout_override(SF, "events", bucketed_events["events"])
+    try:
+        bkt_df = q.fn(spark, SF)
+        bkt_rows = sorted(tuple(r) for r in bkt_df.collect())
+        bkt_plan = bkt_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        clear_layout_overrides()
+
+    assert bkt_rows == base_rows
+    assert _exchanges(bkt_plan) < _exchanges(base_plan), (
+        name, _exchanges(bkt_plan), _exchanges(base_plan), bkt_plan,
+    )
