@@ -80,7 +80,7 @@ FAMILIES = [
         # (per-user first-seen window); their remaining small exchanges
         # (cohort/final rollups) are not on the bucket key by design.
         "queries": ["events_sessionize", "events_funnel", "events_retention"],
-        "tiers": ["gen_sf1", "gen_sf3"],
+        "tiers": ["gen_sf1", "gen_sf3", "gen_sf10"],
     },
 ]
 

@@ -368,17 +368,19 @@ def _bucketed_section() -> list[str]:
         "generalizes beyond the orderkey pair): events bucketed on "
         "user_id with a COMPOUND write-time sort (user_id, ts_ns, "
         "event_id) — the exact required ordering of the per-user "
-        "windows — makes the sessionize/funnel shuffle surface vanish: "
-        "events_sessionize plans 2 -> 0 exchanges and its shuffle "
-        "collapses 67 MB -> 0 B at 30x (wall 0.54 -> 0.21 s; the "
+        "windows — makes the sessionize/funnel shuffle surface vanish "
+        "at every tier through 100x: events_sessionize plans 2 -> 0 "
+        "exchanges and its shuffle collapses 222 MB -> 0 B at 100x "
+        "(wall 1.20 -> 0.50 s; the "
         "window consumes bucketing for distribution AND the write-time "
         "order for sort, and the downstream session aggregate is "
         "user_id-prefixed so it stays exchange-free too); events_funnel "
         "plans 9 -> 0 exchanges (every stage is user_id-keyed); "
         "events_retention keeps only its 2 small cohort-rollup "
-        "exchanges (not on the bucket key by design), shuffle 37 -> "
-        "0.4 MB. One-off write: ~2.4 s / 40-118 MB — amortized after "
-        "roughly two sessionize-class queries. Plan shapes locked at "
+        "exchanges (not on the bucket key by design), shuffle 119 -> "
+        "0.4 MB at 100x, wall 2.0x. One-off write: ~1.7-3.1 s / "
+        "40-393 MB — amortized after roughly two sessionize-class "
+        "queries. Plan shapes locked at "
         "the fixture tier in tests/test_bucketed_layout.py "
         "(exchange-free user-window with a provably exchange-full "
         "parquet baseline, compound-sort elimination, shipped-query "
