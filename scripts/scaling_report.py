@@ -133,6 +133,13 @@ WATCH_NOTES = {
     "text_stats": _R10_NOISE_CLOSURE.format(pct=25, q=0.235, r8=0.296, r9=0.370),
     "join_star": _R10_NOISE_CLOSURE.format(pct=23, q=0.435, r8=1.052, r9=1.292),
     "dedup_minhash_lsh": _R10_NOISE_CLOSURE.format(pct=21, q=0.526, r8=0.951, r9=1.152),
+    "struct_unnest": (
+        "round-10 regen chain recorded 1.398 -> 2.107 s at gen_sf10 "
+        "(1.51x, exactly at the >50% re-run threshold) on untouched "
+        "code; idle min-of-4 re-measure immediately after: 1.351 s — "
+        "the chain window's host I/O contention (the CLAUDE.md "
+        "events_ewma precedent), not the plan. Closed."
+    ),
     "window_range_frame": (
         "round 7's regenerated bench showed 2.87 s -> 5.054 s at gen_sf1 "
         "(10x-rows ratio 4.2x, up from 2.6x); quiet-machine min-of-5 "
