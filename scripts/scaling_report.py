@@ -133,6 +133,14 @@ WATCH_NOTES = {
     "text_stats": _R10_NOISE_CLOSURE.format(pct=25, q=0.235, r8=0.296, r9=0.370),
     "join_star": _R10_NOISE_CLOSURE.format(pct=23, q=0.435, r8=1.052, r9=1.292),
     "dedup_minhash_lsh": _R10_NOISE_CLOSURE.format(pct=21, q=0.526, r8=0.951, r9=1.152),
+    "q10_returned_items": (
+        "round-10 regen chain recorded 5.83 -> 19.78 s at gen_sf10 on "
+        "untouched code with BYTE-IDENTICAL shuffle (736.48 MB both "
+        "rounds — same plan, same work); idle min-of-3 immediately "
+        "after: 4.78 s, faster than r9. Chain-window host I/O "
+        "contention (same signature as events_ewma, re-measured idle "
+        "at 4.11 s this round vs 13.6 in-chain). Closed."
+    ),
     "struct_unnest": (
         "round-10 regen chain recorded 1.398 -> 2.107 s at gen_sf10 "
         "(1.51x, exactly at the >50% re-run threshold) on untouched "
