@@ -154,6 +154,22 @@ def test_normalize_event_time_all_vintages(spark):
         assert row["us"] == base_us, vintage
 
 
+def test_normalize_event_time_idempotent_preserves_exact_ns(spark):
+    """Re-normalizing an already-normalized frame (the bucketed-layout
+    override path re-reads a materialized normalized copy) must be a
+    NO-OP: re-deriving ts_ns from the microsecond ts would silently
+    truncate sub-microsecond precision (round 10, shipped with the
+    events layout override)."""
+    from rust_etl_spark.sources import normalize_event_time
+
+    ns = 1_700_000_000_123_456_789  # NOT a whole microsecond
+    df = spark.createDataFrame([(1, ns)], "event_id bigint, ts bigint")
+    once = normalize_event_time(df)
+    twice = normalize_event_time(once)
+    assert twice.collect()[0]["ts_ns"] == ns  # exact ns survive
+    assert once.columns == twice.columns
+
+
 # Full-table schema contract: every column the catalog's queries read,
 # with the dtype *class* they assume (exact widths may drift harmlessly;
 # a vanished column or a numeric<->string/timestamp flip is what broke
