@@ -116,6 +116,21 @@ def test_range_join_keys_include_time_bucket(spark):
     assert key_lines and all("user_id" in l and "bkt" in l for l in key_lines), key_lines
 
 
+def test_range_join_explodes_the_small_side(spark):
+    """The two-bucket candidate expansion must sit on the SIGNUP side
+    (the filtered, small side), never on the full events side: the
+    pre-round-10 form generated 2N rows from the 100 TB side of the
+    join (15.4 -> 4.9 s at the 100x tier when flipped). Locked: the
+    plan has exactly ONE Generate, and the scan feeding it carries the
+    pushed signup equality filter."""
+    plan = _executed_plan(spark, "events_range_join")
+    lines = plan.splitlines()
+    gen_idx = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    assert len(gen_idx) == 1, plan
+    subtree = "\n".join(lines[gen_idx[0]: gen_idx[0] + 8])
+    assert "signup" in subtree, subtree
+
+
 def test_dataset_mix_is_map_side_only(spark):
     """Weighted mixing is a pure filter: any Exchange means the
     hash-threshold filter regressed into something shuffled."""
