@@ -146,30 +146,58 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-training-doc count of distinct n-grams that also occur in the
     eval split (docs with zero hits are clean and omitted).
 
-    Scale posture: the only shuffles are the per-doc window and the
-    final groupBy, both keyed on high-cardinality ``doc_id``; the
-    eval-side distinct set is broadcast (benchmarks are tiny relative
-    to a training corpus), so contaminated-doc detection costs one
-    linear pass over training shingles. Extends the reference's
-    corpus-hygiene surface (no equivalent op exists there; cf.
-    SURVEY.md §2c curation family).
+    Scale posture: ``n_total`` (distinct shingles per doc) is the SIZE
+    of the per-row distinct-shingle array, computed in-row BEFORE the
+    explode and carried through it — documents are one row per doc_id,
+    so this equals the count the round-≤9 form computed with a
+    doc_id window over the full exploded training-shingle set (the
+    window was the query's only big shuffle: 495 MB at the 100x tier,
+    eliminated in round 10). The eval-side distinct set is broadcast
+    (benchmarks are tiny relative to a training corpus), so
+    contaminated-doc detection costs one linear pass over training
+    shingles; the only remaining shuffles are the eval distinct and
+    the final groupBy over contaminated docs only. Extends the
+    reference's corpus-hygiene surface (no equivalent op exists there;
+    cf. SURVEY.md §2c curation family).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("t"), DECON_NGRAM))).alias("sh"),
+    # The distinct-shingle expression is INLINED at each use, never
+    # materialized as a named column feeding explode: naming it lets
+    # Catalyst infer `size(col) > 0 AND isnotnull(col)` from the
+    # Generate and push that below as a NON-codegen Filter that
+    # re-evaluates the whole tokens->shingles->array_distinct pipeline
+    # twice per row (measured 9 -> 130 s at the 100x tier during the
+    # round-10 re-plan attempt; the two-use projection variant was
+    # worse still — the hoisted size() dragged the full array through
+    # every exploded row).
+    shingle_arr = lambda: F.array_distinct(  # noqa: E731
+        word_shingles(F.col("t"), DECON_NGRAM)
     )
+    sh = toks.select("doc_id", F.explode(shingle_arr()).alias("sh"))
     ev = sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("sh").distinct()
-    tr = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).withColumn(
-        "n_total", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    # n_total rides its OWN explode-free branch: one in-row size() per
+    # training doc, one skinny row each — no shuffle. The round-<=9
+    # form instead computed it as a doc_id window over the FULL
+    # exploded training-shingle set, the query's only big shuffle
+    # (495 MB at the 100x tier, eliminated here); the n_hit groupBy
+    # below gets map-side partial aggregation, which windows never do.
+    # Local trade, measured honestly: the extra shingle pass costs
+    # about what the eliminated shuffle saved on one machine (9.2 ->
+    # 10.4 s idle min-of-3 at 100x, within spread) — the win is the
+    # cluster one, where ~1 KB/doc of window shuffle crosses the
+    # network while the replacement map pass is embarrassingly
+    # parallel.
+    n_tot = toks.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        "doc_id", F.size(shingle_arr()).cast("long").alias("n_total")
     )
-    return (
-        tr.join(F.broadcast(ev), "sh")
-        .groupBy("doc_id", "n_total")
+    hits = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
-        .select("doc_id", "n_hit", "n_total")
     )
+    return hits.join(n_tot, "doc_id").select("doc_id", "n_hit", "n_total")
 
 
 SHUFFLE_BUCKETS = 32
