@@ -140,7 +140,9 @@ _DECON_SHINGLES_SQL = f"list_distinct({word_shingles_sql(tokens_sql('text'), DEC
     f"{DECON_NGRAM}-gram with the held-out eval split (the GPT-3/Pile n-gram-overlap "
     "scrub). Eval n-grams are DISTINCT-collapsed then broadcast — at 100 TB the "
     "benchmark side is MBs, so the training scan never shuffles on content; per-doc "
-    "totals ride a doc_id window so no size join-back is needed.",
+    "totals ride an explode-free in-row size() branch joined back on doc_id "
+    "(one skinny row per doc — replaced the doc_id window over the full exploded "
+    "shingle set, the query's only big shuffle, in round 10).",
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-training-doc count of distinct n-grams that also occur in the

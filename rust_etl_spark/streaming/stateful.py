@@ -15,8 +15,11 @@ output), independent of rows per group — numpy-fying the body and
 raising arrow.maxRecordsPerBatch both measured flat. The deployment
 lever is therefore TRIGGER SIZING, not body tuning: every key that
 appears in a micro-batch pays the tax once, so many small triggers
-multiply it (8 one-file triggers over the same rows: 95k rows/s at
-the 100x tier; one right-sized trigger: 666k rows/s — JVM-native
+multiply it (8 one-file triggers over the same rows — a deliberately
+MIS-SIZED trigger kept as the pedagogical baseline, not the
+operator's ceiling: 95k rows/s at the 100x tier; one right-sized
+trigger: 640k rows/s, the committed STREAM_BENCH.json
+stateful_profiles_t8 record — JVM-native
 parity). Size triggers so rows-per-key-per-trigger stays high, and
 prefer the JVM-native window/session profiles when the semantics fit.
 """

@@ -161,9 +161,13 @@ def profile_stateful_profiles_t8(spark, watch, schema):
     the bottleneck: numpy-body / maxRecordsPerBatch variants moved
     nothing). With maxFilesPerTrigger=1 every user re-updates in every
     micro-batch, so an 8-trigger drain pays 8x the key-updates for the
-    same rows — at the 100x tier that is 95k rows/s vs 716k rows/s for
+    same rows — at the 100x tier that is 95k rows/s vs 640k rows/s for
     the identical operator with one right-sized trigger (JVM-native
-    parity). The deployment rule this row documents: size triggers so
+    parity; 640,163.9 rows/s is the committed STREAM_BENCH.json record
+    for stateful_profiles_t8 at gen_sf10). The plain stateful_profiles
+    row is that deliberately MIS-SIZED trigger baseline (pedagogical —
+    it demonstrates the tax, it is not the operator's ceiling). The
+    deployment rule this row documents: size triggers so
     rows-per-key-per-trigger stays high (e.g. trigger interval >> key
     revisit interval); the per-key tax is then amortized to noise."""
     out = user_profiles_stream(_stream(spark, watch, schema, mfpt=N_FILES))
@@ -221,7 +225,9 @@ def main() -> None:
             "Python-state path's cost is ~90 us per KEY-UPDATE (not per "
             "row), so per-key-per-trigger amortization — not body or "
             "Arrow tuning, both measured flat — is the throughput lever "
-            "(95k -> 716k rows/s at the 100x tier)."
+            "(95k -> 640k rows/s at the 100x tier). Read the plain "
+            "stateful_profiles row as the deliberately mis-sized-trigger "
+            "baseline (pedagogical), not the operator's ceiling."
         ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -123,12 +123,21 @@ def test_range_join_explodes_the_small_side(spark):
     join (15.4 -> 4.9 s at the 100x tier when flipped). Locked: the
     plan has exactly ONE Generate, and the scan feeding it carries the
     pushed signup equality filter."""
+    import re
+
     plan = _executed_plan(spark, "events_range_join")
     lines = plan.splitlines()
     gen_idx = [i for i, l in enumerate(lines) if "Generate explode" in l]
     assert len(gen_idx) == 1, plan
+    # The scan feeding the Generate must carry the signup EQUALITY
+    # filter pushed to parquet — asserting the pushed filter itself,
+    # not merely the substring "signup" (which the Generate's own
+    # signup_id output alias would satisfy even if the filter
+    # regressed).
     subtree = "\n".join(lines[gen_idx[0]: gen_idx[0] + 8])
-    assert "signup" in subtree, subtree
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualTo\(event_type,signup\)", subtree
+    ) or re.search(r"Filter .*event_type[^\n]*= signup", subtree), subtree
 
 
 def test_dataset_mix_is_map_side_only(spark):
