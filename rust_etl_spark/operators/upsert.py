@@ -17,7 +17,7 @@ that point — it is never deleted unless the target also exists).
 This is crash-safe, not transactional — a
 concurrent reader can still see the directory change underneath it;
 snapshot isolation needs a table format (Delta/Iceberg), whose jars
-are not in this environment (re-checked rounds 5, 6, 8 and 10: 0
+are not in this environment (re-checked rounds 5, 6, 8, 10 and 11: 0
 delta/iceberg/hudi jars in the pyspark distribution, no delta/pyiceberg
 Python packages, no network to fetch; if they ever appear, implement
 real ``MERGE INTO`` behind this same API).

@@ -88,8 +88,18 @@ def write_bucketed_fact_layout(
     co-joined facts: the shuffle is paid at ingest, and every
     subsequent join/agg on the key runs exchange-free (pair with
     sources.set_layout_override so existing queries pick it up
-    transparently). Cost model: one full shuffle + write per table —
-    amortized after roughly one heavy join.
+    transparently). Cost model (measured, BUCKETED_BENCH.json at the
+    100x tier — SCALING.md carries the full arithmetic): one full
+    shuffle + write per table. On LOCAL wall the orderkey write
+    (40.7 s / 3.0 GB shuffle) repays at ~17-23 executions of the
+    measured join/agg queries (each saves 1.8-2.4 s) and the
+    events_user write (3.0 s / 393 MB) at ~3-5 sessionize-class
+    queries — a query-mix investment, not a one-join win. On the
+    shuffle-BYTE basis, the one that transfers to a network-bound
+    cluster, break-even is ~3-6 executions (orderkey: each query
+    eliminates 0.5-1.0 GB of the 3.0 GB write shuffle) and ~2-3
+    (events_user) — and the eliminated bytes grow with the data while
+    the write stays one pass.
 
     Sizing: bucket-grain scans cannot split files, so ``n_buckets`` IS
     the layout's scan parallelism — size it to at least 2x the total

@@ -128,6 +128,16 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "pii_pseudonymize": (
+        "investigated round 9 as the 3x tier's worst single query and "
+        "closed as sub-linear vs rows: 2.2-2.3x wall for 3x rows with "
+        "ZERO shuffle at every tier (map-side keyed-hash projection), "
+        "worst at 3x only because every other query there is flatter "
+        "(fixed-overhead-dominated sub-second baselines); at 30x the "
+        "same query is ~1.1x. Recorded here permanently because the "
+        "3x worst-query slot rotates between rounds and the closure "
+        "note must not rotate out with it (VERDICT r10 #4)."
+    ),
     "sort_topk": _R10_NOISE_CLOSURE.format(pct=28, q=0.121, r8=0.187, r9=0.240),
     "window_rank": _R10_NOISE_CLOSURE.format(pct=26, q=0.168, r8=0.242, r9=0.306),
     "text_stats": _R10_NOISE_CLOSURE.format(pct=25, q=0.235, r8=0.296, r9=0.370),
@@ -363,6 +373,49 @@ def _bucketed_section() -> list[str]:
         for fam in families
         for t in fam["tiers"]
     )
+    # Break-even arithmetic (VERDICT r10 #2): the write is paid once;
+    # how many query executions repay it? Two bases per family, both
+    # computed from the LARGEST measured tier of the committed record:
+    # local wall (write wall / per-query wall saved) and shuffle bytes
+    # (write shuffle / per-query shuffle eliminated) — the byte basis
+    # is the cluster-relevant one, where eliminated shuffle crosses the
+    # network instead of a local SSD and the write's own shuffle is the
+    # same one-time network cost.
+    breakeven_lines = []
+    for fam in families:
+        t = fam["tiers"][-1]
+        w = t["bucketed_write"]
+        wall_saves = [
+            q["parquet"]["wall_sec"] - q["bucketed"]["wall_sec"]
+            for q in t["queries"]
+        ]
+        shuf_saves = [
+            q["parquet"]["shuffle_write_mb"] - q["bucketed"]["shuffle_write_mb"]
+            for q in t["queries"]
+        ]
+        # floor the denominators at 5% of the write cost: a query that
+        # saves 7 MB against a 393 MB write (events_funnel — its win is
+        # the 9 eliminated exchanges, not bytes) would otherwise quote
+        # a meaningless 54-execution "break-even" for a layout nobody
+        # builds for that query.
+        shuf_floor = max(1.0, 0.05 * w["shuffle_write_mb"])
+        wall_n = sorted(
+            w["wall_sec"] / s for s in wall_saves if s > 0.05
+        )
+        shuf_n = sorted(
+            w["shuffle_write_mb"] / s for s in shuf_saves if s > shuf_floor
+        )
+        breakeven_lines.append(
+            f"- **{fam['family']}** (at {t['tier']}): write "
+            f"{w['wall_sec']} s / {w['shuffle_write_mb']:.0f} MB; "
+            f"per-query savings {min(s for s in wall_saves if s > 0.05):.2f}"
+            f"-{max(wall_saves):.2f} s wall, "
+            f"{min(s for s in shuf_saves if s > shuf_floor):.0f}"
+            f"-{max(shuf_saves):.0f} MB shuffle -> local wall break-even "
+            f"**~{wall_n[0]:.0f}-{wall_n[-1]:.0f} executions** of the "
+            f"measured queries; shuffle-byte break-even "
+            f"**~{shuf_n[0]:.0f}-{shuf_n[-1]:.0f} executions**."
+        )
     lines += [
         "",
         f"One-off bucketed writes (paid at ingest): {writes}.",
@@ -382,8 +435,7 @@ def _bucketed_section() -> list[str]:
         "5.1 s @32 -> 1.6 s @64 -> 2.0 s @128). On a cluster the "
         "eliminated bytes also cross the network: the layout is the "
         "difference between a per-query half-terabyte shuffle (at "
-        "100 TB scale) and none, amortized after roughly one join of "
-        "the write's own one-shuffle cost.",
+        "100 TB scale) and none — break-even arithmetic below.",
         "",
         "Reading (events_user family — round 10, proving the mechanism "
         "generalizes beyond the orderkey pair): events bucketed on "
@@ -400,12 +452,26 @@ def _bucketed_section() -> list[str]:
         "events_retention keeps only its 2 small cohort-rollup "
         "exchanges (not on the bucket key by design), shuffle 119 -> "
         "0.4 MB at 100x, wall 2.0x. One-off write: ~1.7-3.1 s / "
-        "40-393 MB — amortized after roughly two sessionize-class "
-        "queries. Plan shapes locked at "
+        "40-393 MB — break-even arithmetic below. Plan shapes locked at "
         "the fixture tier in tests/test_bucketed_layout.py "
         "(exchange-free user-window with a provably exchange-full "
         "parquet baseline, compound-sort elimination, shipped-query "
         "row parity).",
+        "",
+        "**Break-even arithmetic** (write-once cost vs per-query "
+        "savings, computed from this file's committed records at the "
+        "largest measured tier; wall basis is the honest LOCAL number "
+        "— the shuffle-byte basis is the cluster-relevant one, since "
+        "the eliminated bytes cross the network there while the "
+        "write's own shuffle is the same one-time network cost):",
+        "",
+        *breakeven_lines,
+        "",
+        "Local arithmetic says the layout is NOT a one-heavy-join win "
+        "on one machine — it pays back over a query mix that hits the "
+        "bucket key tens of times (exactly how a warehouse fact table "
+        "is used). On a network-bound cluster the byte basis applies "
+        "and the write amortizes in a handful of executions.",
         "",
     ]
     return lines
