@@ -92,23 +92,21 @@ MID_TIER_WORST_NOTES = {
     ("100x", "events_range_join"): (
         "20.2x wall for 100x rows — sub-linear endpoint-to-endpoint, "
         "and the endpoint ratio overstates it: the sf0.1 baseline is "
-        "sub-second fixed-overhead. Round-10 quiet min-of-3 "
-        "re-measure (host-contention protocol): 1.12 s sf0.1 / 1.65 s "
-        "10x / 10.57 s 100x, linear within the gen tiers; executedPlan "
-        "IDENTICAL at all three (2 Exchange / 1 BroadcastHashJoin / 0 "
-        "SMJ — the signup side broadcasts, the follow side never "
-        "shuffles; both exchanges are the signup_id partial aggregate, "
-        "15.7 MB at 100x). The investigation then found real headroom: "
-        "the plan exploded the FOLLOW side (2N generated rows — the "
-        "100 TB side) into its two candidate day-buckets; flipping the "
-        "expansion onto the SIGNUP side (the small, filtered side; "
-        "e in (s, s+W] <=> e_bkt in {s_bkt, s_bkt+1}, exact integer "
-        "semantics, value parity verified) leaves the big side "
-        "un-generated — 15.4 -> 4.9 s same-session min-of-3 at 100x, "
-        "shipped round 10. On a cluster where exploded signups outgrow "
-        "the broadcast threshold the join degrades to an SMJ on "
-        "(user_id, day-bucket) whose per-key fan-out is bounded at one "
-        "user-day — the designed fallback. Closed (re-planned)."
+        "sub-second fixed-overhead. Round 10 flipped the two-bucket "
+        "candidate expansion from the FOLLOW side (2N generated rows — "
+        "the 100 TB side) onto the filtered SIGNUP side (exact integer "
+        "semantics, value parity verified; 15.4 -> 4.9 s at 100x). "
+        "Round 11 then MEASURED the join-regime story the round-10 "
+        "note only asserted, and found the assertion's premise wrong: "
+        "the unhinted BroadcastHashJoin was building the FOLLOW-side "
+        "projection (BuildRight in the executedPlan — the side that "
+        "grows with the corpus; the note claimed the signup side "
+        "broadcast), a single-threaded ~20M-row hash build costing "
+        "5.34 s min-of-3 at 100x. The shipped form now hints "
+        "shuffle_hash on the signup side — 1.70 s, with the spill-safe "
+        "SortMergeJoin fallback measured at par (1.74 s, identical "
+        "212 MB shuffle) — see the dedicated regime section below. "
+        "Closed (re-planned twice, both measured)."
     ),
 }
 
@@ -477,6 +475,67 @@ def _bucketed_section() -> list[str]:
     return lines
 
 
+def _range_join_regimes_section() -> list[str]:
+    """Every join regime of events_range_join measured at the big
+    tier, rendered from RANGE_JOIN_REGIMES.json
+    (scripts/range_join_regimes.py — VERDICT r10 #1: the fallback
+    regime was asserted, never measured)."""
+    rj = _load("RANGE_JOIN_REGIMES.json")
+    if not rj:
+        return []
+    fan = rj["fanout"]
+    lines = [
+        f"## Range-join regimes at {rj['tier']} (every strategy measured)",
+        "",
+        "Identical dataflow, only the join-strategy hint varies "
+        "(min-of-3 after an untimed per-regime warm run, calibration "
+        f"anchor {rj['calibration_sec']} s). Measuring the fallback "
+        "regime round 11 found the round-10 note's premise wrong: "
+        "Catalyst's unhinted pick was a BroadcastHashJoin building the "
+        "FOLLOW-side projection — the side that grows with the corpus "
+        "— not the signup side. The shipped form hints `shuffle_hash` "
+        "on the signup side; the spill-safe SortMergeJoin fallback "
+        "measures at par, so the plan is safe in whichever regime a "
+        "cluster lands in.",
+        "",
+        "| regime | hint | wall min s | shuffle write MB | join | exchanges | spill MB |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rj["regimes"]:
+        join = (
+            f"BHJ x{r['bhj']}" if r["bhj"]
+            else f"SHJ x{r['shj']}" if r["shj"]
+            else f"SMJ x{r['smj']}"
+        )
+        lines.append(
+            f"| {r['regime']} | {r['hint'] or '—'} | {r['wall_min_sec']} "
+            f"| {r['shuffle_write_mb']} | {join} | {r['exchanges']} "
+            f"| {r['spill_mb']} |"
+        )
+    lines += [
+        "",
+        "Why the 212 MB shuffle beats the 15.7 MB broadcast locally — "
+        "and why it is the only shape that survives 100 TB: the "
+        "broadcast regime's 'small' shuffle hides a single-threaded "
+        "hash build of the entire follow-side projection (every event "
+        "row), which grows linearly with the corpus until the driver "
+        "dies; the shuffle regimes partition BOTH sides on the bounded "
+        "(user_id, day-bucket) key, so per-task state is one slice of "
+        "the FILTERED signup side (shuffle_hash) or a spillable sorted "
+        "run (merge). The bucketed key keeps every regime skew-safe: "
+        f"max {fan['max_events_per_user_day']} / p99 "
+        f"{fan['p99_events_per_user_day']} events per (user, day) vs "
+        f"{fan['max_events_per_user_lifetime']} / "
+        f"{fan['p99_events_per_user_lifetime']} per user lifetime — "
+        "join groups are one user-day, never one user-history. "
+        "`tests/test_plans.py::test_range_join_builds_hash_from_signup_side` "
+        "locks the shape: ShuffledHashJoin building the signup side or "
+        "the SMJ fallback tolerated, any BroadcastHashJoin fails.",
+        "",
+    ]
+    return lines
+
+
 def _streaming_section() -> list[str]:
     """Structured Streaming timing/state evidence, rendered from
     STREAM_BENCH.json (scripts/stream_bench.py)."""
@@ -639,6 +698,7 @@ def main() -> None:
         " sf0.001 / sf0.1 / 10x.",
         "",
     ]
+    out += _range_join_regimes_section()
     out += _bucketed_section()
     out += _curation_section()
     out += _streaming_section()

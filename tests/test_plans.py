@@ -107,13 +107,31 @@ def test_ngram_jaccard_scans_documents_once(spark):
 def test_range_join_keys_include_time_bucket(spark):
     """The events range join must carry (user_id, bkt) as equi-join
     keys — losing the bucket reverts to one-join-group-per-user-
-    lifetime. (At fixture scale Catalyst broadcasts the signup side,
-    so the keys appear on the join node, not a shuffle.)"""
+    lifetime."""
     import re
 
     plan = _formatted_plan(spark, "events_range_join")
     key_lines = [l for l in plan.splitlines() if re.search(r"(Left|Right) keys", l)]
     assert key_lines and all("user_id" in l and "bkt" in l for l in key_lines), key_lines
+
+
+def test_range_join_builds_hash_from_signup_side(spark):
+    """Round-11 re-plan lock: the join must be a ShuffledHashJoin that
+    hash-builds the SIGNUP side (BuildLeft — signups are the left
+    input). Catalyst's own pick at the 100x tier was a BROADCAST of
+    the pruned follow-side projection (the side that grows with the
+    corpus; 5.34 s vs 1.70 s hinted, RANGE_JOIN_REGIMES.json), so any
+    reappearance of BroadcastHashJoin here is the misbroadcast
+    regressing. The hint is advisory: Spark's legitimate fallback is
+    SortMergeJoin on the same bounded key (measured at par, 1.74 s),
+    so that shape is tolerated — a broadcast is not."""
+    plan = _executed_plan(spark, "events_range_join")
+    assert "BroadcastHashJoin" not in plan, plan
+    shj = [l for l in plan.splitlines() if "ShuffledHashJoin" in l]
+    smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert shj or smj, plan
+    if shj:
+        assert "BuildLeft" in shj[0], shj
 
 
 def test_range_join_explodes_the_small_side(spark):
