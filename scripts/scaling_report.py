@@ -475,6 +475,75 @@ def _bucketed_section() -> list[str]:
     return lines
 
 
+def _expansion_audit_section() -> list[str]:
+    """Round-11 verified inventory of every candidate/row expansion in
+    the catalog (VERDICT r10 #5): the CLAUDE.md rule — expansion
+    belongs on the side with fewer rows at that point in the plan —
+    audited site by site instead of proven by one example. Each line
+    states which side expands, its bound, and why that side is the
+    smaller (or only) one."""
+    return [
+        "## Candidate-expansion side audit (round 11 — every site verified)",
+        "",
+        "Rule (CLAUDE.md): any candidate-pair expansion — buckets, "
+        "bands, shingles, salts — belongs on the side with fewer rows "
+        "at that point in the plan. Verified inventory:",
+        "",
+        "- `events_range_join` (plans/events_queries.py::_range_join): "
+        "two-bucket explode on the FILTERED SIGNUP side (~20% of "
+        "events), never the follow side — the round-10 flip that "
+        "motivated the rule (15.4 -> 4.9 s at 100x), regime-measured "
+        "round 11 (section above).",
+        "- `minhash_bands` (operators/dedup.py:148): banded-signature "
+        "explode emits exactly K/band_rows rows per doc — symmetric "
+        "self-candidate generation, no side choice exists; downstream "
+        "pair fan-out bounded by MINHASH_MAX_BUCKET (mega-buckets "
+        "routed to the linear exact-group path).",
+        "- `dedup_against_corpus` (operators/dedup.py:693): the band "
+        "explode and fresh signatures run ONLY on the incoming batch "
+        "(the small side by construction); the corpus side is the "
+        "stored DISTINCT (band, sig) index, never re-expanded.",
+        "- `dedup_ngram_jaccard` / `dedup_containment` "
+        "(operators/dedup.py:520/1059): the shingle explode is per-doc "
+        "content — single-table, corpus-linear by necessity; the PAIR "
+        "expansion is in-row from df-capped posting lists "
+        "(JACCARD_DF_CAP bounds per-shingle fan-out), never a "
+        "join-side replication.",
+        "- `dedup_segments` (operators/dedup.py:976): segment explode "
+        "on documents (only side), bounded at ceil(len/SEGMENT_WIDTH) "
+        "rows per doc; cross-doc pair fan-out df-capped.",
+        "- `dedup_simhash_near` (operators/dedup.py:1240): constant "
+        "SIMHASH_BANDS block keys per doc (pigeonhole), bucket-capped, "
+        "pairs expand in-row from sorted member lists.",
+        "- `doc_winnow` (operators/text.py:480): fingerprint explode "
+        "per doc, bounded by distinct window minima — zero shuffle, "
+        "map-side only (plan-locked).",
+        "- `events_hop_window` (plans/events_queries.py:96): Spark's "
+        "native window-slide expansion, constant width/slide = 2 rows "
+        "per event on the single input table; partial aggregation "
+        "combines before the one shuffle.",
+        "- `events_rolling_distinct` (plans/events_queries.py:1028): "
+        "the x7 target-day fan-out runs AFTER day-grain dedup shrinks "
+        "input to distinct (day, user) — expansion on the reduced set.",
+        "- `salted_join` (operators/joins.py:39): the salt explode "
+        "replicates the BUILD (dimension) side n_salts times; the big "
+        "probe side gets a computed salt column, no row growth.",
+        "- `pack_sequences` chunking (plans/curation_queries.py:344): "
+        "per-doc stride sequence, bounded by len/CHUNK_STRIDE on the "
+        "only side.",
+        "- dense-grid densifiers (plans/advanced_agg.py:90, "
+        "plans/events_queries.py:316): sequence explodes over per-key "
+        "(lo, hi) BOUNDS rows — the already-aggregated small side, "
+        "never the fact rows.",
+        "- dimension posexplodes (operators/pca.py:81, "
+        "operators/similarity.py:731/780): constant x-dims expansion "
+        "feeding a map-side partial aggregate keyed by dimension — "
+        "combines before any shuffle; vectors themselves never "
+        "replicate.",
+        "",
+    ]
+
+
 def _range_join_regimes_section() -> list[str]:
     """Every join regime of events_range_join measured at the big
     tier, rendered from RANGE_JOIN_REGIMES.json
@@ -699,6 +768,7 @@ def main() -> None:
         "",
     ]
     out += _range_join_regimes_section()
+    out += _expansion_audit_section()
     out += _bucketed_section()
     out += _curation_section()
     out += _streaming_section()
