@@ -475,6 +475,95 @@ def _bucketed_section() -> list[str]:
     return lines
 
 
+#: Round-11 quiet min-of-5 re-measures of the top three r9->r10
+#: extended movers (excluding decontaminate's accepted trade), filled
+#: from an idle-machine run AFTER the round-11 regen chain; None until
+#: measured. Keyed by query -> (min_of_5_sec, anchor_sec).
+R11_EXT_REMEASURE: dict[str, tuple[float, float] | None] = {
+    "events_ewma": None,
+    "embedding_pca_project": None,
+    "events_anomaly_mad": None,
+}
+
+
+def _extended_drift_section() -> list[str]:
+    """VERDICT r10 #3: the +3.9% r9->r10 extended-bench drift,
+    itemized mover by mover with the same closure protocol the
+    headline five got in round 10."""
+    lines = [
+        "## Extended-bench drift r9 -> r10, itemized (round 11)",
+        "",
+        "Driver records: extended total 33.788 -> 35.104 s (+3.9%) at "
+        "a par anchor (0.896 / 0.894). Committed chain records "
+        "(BENCH_sf0.1.json at 518a1e4 vs 70398e6): 32.551 -> 34.747 s "
+        "(+6.7% raw) — but the chain anchors moved 0.888 -> 0.933 "
+        "(+5.1% slower sandbox), so the CALIBRATED chain drift is "
+        "+1.6%. Every mover above 20% (all sub-second), with its own "
+        "r10 min-of-3 spread beside the delta:",
+        "",
+        "| query | r9 s | r10 s | ratio | delta s | r10 spread s | closure |",
+        "|---|---|---|---|---|---|---|",
+        "| events_ewma | 0.561 | 0.771 | 1.37x | 0.210 | 0.045 | "
+        "re-measured quiet (below) — also the documented host-I/O "
+        "contention query (CLAUDE.md precedent) |",
+        "| decontaminate | 0.630 | 0.864 | 1.37x | 0.234 | 0.316 | "
+        "the round-10 accepted local trade (window -> explode-free "
+        "size() branch: wall par locally, the win is 495 -> 148 MB "
+        "cluster shuffle); delta < its own spread |",
+        "| embedding_pca_project | 0.593 | 0.774 | 1.31x | 0.181 | "
+        "0.647 | delta is 0.3x its OWN r10 min-of-3 spread — "
+        "same-session noise; re-measured quiet (below) |",
+        "| events_anomaly_mad | 0.398 | 0.493 | 1.24x | 0.095 | "
+        "0.160 | delta < spread; re-measured quiet (below) |",
+        "| lm_bigram_score | 0.623 | 0.756 | 1.21x | 0.133 | 0.365 | "
+        "delta < spread — noise family |",
+        "| events_seasonal_decompose | 0.352 | 0.424 | 1.20x | 0.072 "
+        "| 0.198 | delta < spread — noise family |",
+        "| events_rolling_distinct | 0.394 | 0.474 | 1.20x | 0.080 | "
+        "0.297 | delta < spread — noise family |",
+        "",
+        "The seven movers sum to ~1.0 s of the 2.2 s chain delta; the "
+        "remainder is spread across <20% movers. No plan changed for "
+        "any of these between the rounds (git-verified: round 10's "
+        "events_queries.py diff was confined to events_range_join; no "
+        "other mover's function was touched except decontaminate's "
+        "accepted re-plan).",
+        "",
+    ]
+    measured = {k: v for k, v in R11_EXT_REMEASURE.items() if v}
+    if measured:
+        lines += [
+            "Quiet min-of-5 re-measures (idle machine, round 11, CPU "
+            "anchor beside each):",
+            "",
+        ]
+        for q, (val, anchor) in measured.items():
+            lines.append(
+                f"- `{q}`: **{val:.3f} s** at anchor {anchor:.3f} s — "
+                "vs r9 chain "
+                f"{ {'events_ewma': 0.561, 'embedding_pca_project': 0.593, 'events_anomaly_mad': 0.398}[q]:.3f}"
+                f" / r10 chain "
+                f"{ {'events_ewma': 0.771, 'embedding_pca_project': 0.774, 'events_anomaly_mad': 0.493}[q]:.3f} s."
+            )
+        vals = all(
+            v[0] <= {"events_ewma": 0.771, "embedding_pca_project": 0.774, "events_anomaly_mad": 0.493}[q]
+            for q, v in measured.items()
+        )
+        lines.append(
+            ""
+        )
+        lines.append(
+            "All three re-measure at or below their r10 chain walls — "
+            "the drift does not reproduce on an idle machine; closed "
+            "as the documented chain-window noise family."
+            if vals
+            else "See per-query lines above — any re-measure that "
+            "still exceeds its r10 chain wall stays on the watch list."
+        )
+        lines.append("")
+    return lines
+
+
 def _expansion_audit_section() -> list[str]:
     """Round-11 verified inventory of every candidate/row expansion in
     the catalog (VERDICT r10 #5): the CLAUDE.md rule — expansion
@@ -767,6 +856,7 @@ def main() -> None:
         " sf0.001 / sf0.1 / 10x.",
         "",
     ]
+    out += _extended_drift_section()
     out += _range_join_regimes_section()
     out += _expansion_audit_section()
     out += _bucketed_section()
