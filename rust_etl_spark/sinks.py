@@ -89,11 +89,12 @@ def write_bucketed_fact_layout(
     subsequent join/agg on the key runs exchange-free (pair with
     sources.set_layout_override so existing queries pick it up
     transparently). Cost model (measured, BUCKETED_BENCH.json at the
-    100x tier — SCALING.md carries the full arithmetic): one full
-    shuffle + write per table. On LOCAL wall the orderkey write
-    (40.7 s / 3.0 GB shuffle) repays at ~17-23 executions of the
-    measured join/agg queries (each saves 1.8-2.4 s) and the
-    events_user write (3.0 s / 393 MB) at ~3-5 sessionize-class
+    100x tier — SCALING.md computes the break-even arithmetic from
+    the committed record on every regen): one full shuffle + write
+    per table. On LOCAL wall the orderkey write (22.6-40.7 s across
+    round re-measures / 3.0 GB shuffle) repays at roughly 8-23
+    executions of the measured join/agg queries (each saves ~2 s) and
+    the events_user write (~3 s / 393 MB) at ~3-6 sessionize-class
     queries — a query-mix investment, not a one-join win. On the
     shuffle-BYTE basis, the one that transfers to a network-bound
     cluster, break-even is ~3-6 executions (orderkey: each query

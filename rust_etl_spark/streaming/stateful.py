@@ -17,10 +17,11 @@ lever is therefore TRIGGER SIZING, not body tuning: every key that
 appears in a micro-batch pays the tax once, so many small triggers
 multiply it (8 one-file triggers over the same rows — a deliberately
 MIS-SIZED trigger kept as the pedagogical baseline, not the
-operator's ceiling: 95k rows/s at the 100x tier; one right-sized
-trigger: 640k rows/s, the committed STREAM_BENCH.json
-stateful_profiles_t8 record — JVM-native
-parity). Size triggers so rows-per-key-per-trigger stays high, and
+operator's ceiling: 86-95k rows/s at the 100x tier across round
+re-measures; one right-sized trigger: 620-640k rows/s, a ~7x lever —
+JVM-native parity; the committed STREAM_BENCH.json rows are the
+canonical numbers and its note quotes them directly). Size triggers
+so rows-per-key-per-trigger stays high, and
 prefer the JVM-native window/session profiles when the semantics fit.
 """
 

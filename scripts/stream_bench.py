@@ -161,10 +161,11 @@ def profile_stateful_profiles_t8(spark, watch, schema):
     the bottleneck: numpy-body / maxRecordsPerBatch variants moved
     nothing). With maxFilesPerTrigger=1 every user re-updates in every
     micro-batch, so an 8-trigger drain pays 8x the key-updates for the
-    same rows — at the 100x tier that is 95k rows/s vs 640k rows/s for
-    the identical operator with one right-sized trigger (JVM-native
-    parity; 640,163.9 rows/s is the committed STREAM_BENCH.json record
-    for stateful_profiles_t8 at gen_sf10). The plain stateful_profiles
+    same rows — at the 100x tier that is ~86-95k rows/s vs ~620-640k
+    rows/s for the identical operator with one right-sized trigger
+    (JVM-native parity; the committed STREAM_BENCH.json rows are
+    canonical and the JSON note quotes them directly — numbers here
+    are ranges across round re-measures). The plain stateful_profiles
     row is that deliberately MIS-SIZED trigger baseline (pedagogical —
     it demonstrates the tax, it is not the operator's ceiling). The
     deployment rule this row documents: size triggers so
@@ -205,6 +206,19 @@ def main() -> None:
         shutil.rmtree(watch1)
         shutil.rmtree(watch2)
 
+    # Quote the trigger-sizing lever FROM the measured rows (the prose
+    # desynced twice when hardcoded: 716k and 640k both shipped against
+    # records that later re-measured differently).
+    big = {
+        r["profile"]: r["rows_per_sec"]
+        for r in rows
+        if r["tier"] == TIERS[-1][0] and r["profile"].startswith("stateful")
+    }
+    lever = (
+        f"({big.get('stateful_profiles', 0) / 1e3:.0f}k -> "
+        f"{big.get('stateful_profiles_t8', 0) / 1e3:.0f}k rows/s at the "
+        "largest measured tier, this file's own rows)"
+    )
     record = {
         "metric": "streaming_profiles",
         "n_files_per_run": N_FILES,
@@ -225,7 +239,7 @@ def main() -> None:
             "Python-state path's cost is ~90 us per KEY-UPDATE (not per "
             "row), so per-key-per-trigger amortization — not body or "
             "Arrow tuning, both measured flat — is the throughput lever "
-            "(95k -> 640k rows/s at the 100x tier). Read the plain "
+            f"{lever}. Read the plain "
             "stateful_profiles row as the deliberately mis-sized-trigger "
             "baseline (pedagogical), not the operator's ceiling."
         ),
