@@ -199,7 +199,18 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    return hits.join(n_tot, "doc_id").select("doc_id", "n_hit", "n_total")
+    # The n_total join-back hints shuffle_hash with HITS as build: the
+    # round-11 misbroadcast audit caught Catalyst broadcasting the
+    # n_tot branch instead — one skinny row per TRAINING doc, a
+    # corpus-linear build that dies on a driver at scale, while hits
+    # (contaminated docs only) is the bounded side. Measured par at
+    # the 100x tier (8.60 vs 8.98 s min-of-3); the hint is advisory,
+    # SMJ on doc_id is the spill-safe fallback.
+    return (
+        hits.hint("shuffle_hash")
+        .join(n_tot, "doc_id")
+        .select("doc_id", "n_hit", "n_total")
+    )
 
 
 SHUFFLE_BUCKETS = 32

@@ -612,6 +612,65 @@ def _extended_drift_section() -> list[str]:
     return lines
 
 
+def _misbroadcast_section() -> list[str]:
+    """Round-11 systematic sweep for the pathology class the range-join
+    regime measurement exposed: Catalyst broadcasting a side that grows
+    with the corpus. Rendered from MISBROADCAST_AUDIT.json
+    (scripts/misbroadcast_audit.py)."""
+    mb = _load("MISBROADCAST_AUDIT.json")
+    if not mb:
+        return []
+    raw = mb.get("raw_fact_broadcasts", [])
+    reduced = mb.get("reduced_fact_broadcasts", [])
+    return [
+        f"## Misbroadcast audit at {mb['tier']} (the range-join pathology, swept catalog-wide)",
+        "",
+        "The round-11 range-join finding was a CLASS, not a one-off: a "
+        "pruned fact-table projection can sit under Catalyst's "
+        "broadcast threshold at mid tiers, so the optimizer broadcasts "
+        "the side that grows with the corpus. "
+        f"`scripts/misbroadcast_audit.py` sweeps all "
+        f"{mb['queries_audited']} graded+bench queries' EXECUTED plans "
+        "at the 100x tier for BroadcastExchanges whose subtree scans a "
+        "fact table, classifying each as raw (no selective filter, no "
+        "aggregation — the pathology) or reduced (filtered/aggregated "
+        "first — legitimate when the reduction is sublinear in corpus "
+        "size).",
+        "",
+        f"- **raw fact broadcasts: {len(raw)}**"
+        + (" — " + ", ".join(raw) if raw else
+           " (two found and fixed this round: "
+           "`dedup_minhash_verified` broadcast the raw token-array "
+           "projection of documents on its second verify join — now "
+           "shuffle_hash building the bounded pairs side, measured par "
+           "at 100x, plan-locked in tests/test_plans.py; "
+           "`decontaminate`'s n_total join-back broadcast one skinny "
+           "row per TRAINING doc — a 75%-pass modulo filter fooled the "
+           "classifier into 'reduced' but is not selective in scale "
+           "terms; now shuffle_hash building the contaminated-docs "
+           "side, measured par at 100x)"),
+        f"- reduced fact broadcasts: {len(reduced)} — adjudicated by "
+        "family: single-query-vector selections (similarity family — "
+        "bounded at 1 row by construction); bounded-domain aggregates "
+        "(day/type grids: events_zscore/anomaly_mad/seasonal_decompose"
+        "/rolling_distinct; value-bucket dimension: window_range_frame"
+        "); sublinear codebooks (kmeans_iterate, dedup_embedding_lsh — "
+        "sqrt(N)-sized by derivation); vocabulary/LM folds "
+        "(text_tfidf, lm_quality_score, lm_bigram_score — token-type "
+        "domains grow ~Heaps-law sublinearly); the benchmark eval side "
+        "(decontaminate — MBs at 100 TB by design); the stored band "
+        "index (dedup_against_corpus — grows with the corpus, and its "
+        "docstring already names the scale path: a pre-bucketed index "
+        "table the probe equi-joins, with Catalyst flipping to a "
+        "shuffle join as the estimate grows); per-user aggregates "
+        "(events_funnel — corpus-linear in users, flips to shuffle "
+        "joins automatically as estimates grow, and the MEASURED scale "
+        "answer is the bucketed user_id layout: 9 -> 0 exchanges at "
+        "every tier, section above).",
+        "",
+    ]
+
+
 def _expansion_audit_section() -> list[str]:
     """Round-11 verified inventory of every candidate/row expansion in
     the catalog (VERDICT r10 #5): the CLAUDE.md rule — expansion
@@ -906,6 +965,7 @@ def main() -> None:
     ]
     out += _extended_drift_section()
     out += _range_join_regimes_section()
+    out += _misbroadcast_section()
     out += _expansion_audit_section()
     out += _bucketed_section()
     out += _curation_section()

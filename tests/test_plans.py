@@ -158,6 +158,21 @@ def test_range_join_explodes_the_small_side(spark):
     ) or re.search(r"Filter .*event_type[^\n]*= signup", subtree), subtree
 
 
+def test_minhash_verified_never_broadcasts_tokens(spark):
+    """Round-11 misbroadcast-audit lock: the exact-Jaccard verify joins
+    must never broadcast the document token-array projection (Catalyst
+    picked that at the 100x tier — a raw fact broadcast whose build
+    grows with the corpus). Both joins are hinted shuffle_hash with
+    the bounded pairs side as build; the legitimate fallback is SMJ on
+    doc_id, so that shape is tolerated — a BroadcastHashJoin is not."""
+    plan = _executed_plan(spark, "dedup_minhash_verified")
+    assert "BroadcastHashJoin" not in plan, plan
+    shj = [l for l in plan.splitlines() if "ShuffledHashJoin" in l]
+    smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert len(shj) + len(smj) >= 2, plan
+    assert all("BuildLeft" in l for l in shj), shj
+
+
 def test_dataset_mix_is_map_side_only(spark):
     """Weighted mixing is a pure filter: any Exchange means the
     hash-threshold filter regressed into something shuffled."""
