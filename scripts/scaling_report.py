@@ -85,6 +85,17 @@ MID_TIER_WORST_NOTES = {
         "sub-second baselines). Same query carries the 30x note below "
         "(the L=3 -> 4 block-key step). Closed."
     ),
+    ("100x", "events_ewma"): (
+        "18.6x wall for 100x rows on the chain record — the cold-page-"
+        "cache artifact, diagnosed to mechanism this round (see the "
+        "events_ewma watch-list entry above): idle 11.2 s reproduces "
+        "at a healthy CPU anchor, one sequential warm scan of "
+        "events.parquet drops it to 3.19 s = 2.9x for 100x rows, "
+        "sub-linear. The plan is untouched integer-weight window "
+        "folds; the record stays as measured because the chain cannot "
+        "control what the host evicts. Closed (mechanism identified, "
+        "warm-cache value sub-linear)."
+    ),
     ("100x", "decontaminate"): (
         "11.3x wall for 100x rows — sub-linear, and the round-10 "
         "re-plan's ACCEPTED local trade: the doc_id window over the "
@@ -145,6 +156,22 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "events_ewma": (
+        "the recurring 'host I/O contention' query got a MECHANISM in "
+        "round 11: the second-chain gen_sf10 record (12.4 s, vs 4.65 "
+        "in that round's first chain) REPRODUCED idle (11.2 s min-of-3 "
+        "at a healthy 0.887 CPU anchor, buff/cache down to 4 GB of "
+        "125) — then one sequential warming scan of events.parquet "
+        "dropped it to 3.19 s (the historical idle value; the query's "
+        "own runs do NOT self-warm: [16.3, 11.7, 11.2] across three "
+        "noop re-scans). Cold-page-cache column-pruned parquet reads "
+        "are seeky and ~3.5x slower than warm on this VM's storage; "
+        "whether a chain query lands warm depends on what ran before "
+        "it, which is why the family oscillates 3-4 s vs 12-16 s "
+        "across rounds with tight per-run spreads. The CPU anchor "
+        "cannot catch it (I/O, not CPU); treat any ewma-class delta "
+        "as cache state unless it survives an explicit warm scan."
+    ),
     "pii_pseudonymize": (
         "investigated round 9 as the 3x tier's worst single query and "
         "closed as sub-linear vs rows: 2.2-2.3x wall for 3x rows with "
