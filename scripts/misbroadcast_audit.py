@@ -77,8 +77,20 @@ def _scan_facts(sub: list[str]) -> list[dict]:
     return hits
 
 
-def audit_query(df) -> list[dict]:
-    df.write.format("noop").mode("overwrite").save()
+def audit_query(df, execute: bool = True) -> list[dict]:
+    """Classify every fact-table BroadcastExchange in df's physical plan.
+
+    ``execute=True`` (the 100x deep audit) runs the query to a noop
+    sink first so AQE's runtime re-plans are visible. ``execute=False``
+    (the pytest gate canary, tests/test_misbroadcast_canary.py) reads
+    the static pick — cheaper, and at fixture scale actually the
+    BETTER signal: the round-11 pathology class is Catalyst's STATIC
+    size estimate of a pruned fact projection sitting under the
+    broadcast threshold, while AQE's runtime conversions at fixture
+    scale fire on genuinely-tiny shuffle stats and are pure noise.
+    """
+    if execute:
+        df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     flags = []
@@ -119,36 +131,38 @@ def audit_query(df) -> list[dict]:
     return flags
 
 
-def main() -> None:
+def graded_and_bench_names() -> list[str]:
+    """The audited surface: graded window first, then bench extras."""
     import bench
 
     from rust_etl_spark.plans import catalog
-    from rust_etl_spark.session import get_spark
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/gen_sf10")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    spark = get_spark("misbroadcast-audit")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    import pandas as _pd
-
-    spark.createDataFrame(_pd.DataFrame({"k": range(64), "v": range(64)})) \
-        .groupBy("k").applyInPandas(lambda p: p, "k long, v long") \
-        .write.format("noop").mode("overwrite").save()
 
     names: list[str] = []
     for name in [*catalog.GRADE_ORDER, *bench.HEADLINE, *bench.EXTENDED]:
         if name not in names:
             names.append(name)
+    return names
+
+
+def sweep(spark, sf_dir: str, names: list[str], execute: bool = True,
+          verbose: bool = True) -> list[dict]:
+    """Classify every query's fact broadcasts; one row per query.
+
+    Shared by the 100x deep audit (main, execute=True) and the pytest
+    gate canary (execute=False) so the two can never drift apart —
+    the canary imports THIS function, it does not fork the classifier.
+    """
+    from rust_etl_spark.plans import catalog
 
     rows = []
     for name in names:
         q = catalog.get(name)
         try:
-            flags = audit_query(q.fn(spark, sf_dir))
+            flags = audit_query(q.fn(spark, sf_dir), execute=execute)
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             rows.append({"query": name, "error": str(e)[:200]})
-            print(f"{name:32s} ERROR {str(e)[:80]}", flush=True)
+            if verbose:
+                print(f"{name:32s} ERROR {str(e)[:80]}", flush=True)
             continue
         raw = [
             f
@@ -163,13 +177,32 @@ def main() -> None:
                 "raw_fact_broadcasts": len(raw),
             }
         )
-        mark = "!!" if raw else ("f " if flags else "  ")
-        print(
-            f"{name:32s} {mark} fact-broadcasts={len(flags)} "
-            f"raw={len(raw)} "
-            + (str(sorted({t for f in flags for t in f['tables']})) if flags else ""),
-            flush=True,
-        )
+        if verbose:
+            mark = "!!" if raw else ("f " if flags else "  ")
+            print(
+                f"{name:32s} {mark} fact-broadcasts={len(flags)} "
+                f"raw={len(raw)} "
+                + (str(sorted({t for f in flags for t in f['tables']})) if flags else ""),
+                flush=True,
+            )
+    return rows
+
+
+def main() -> None:
+    from rust_etl_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/gen_sf10")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    spark = get_spark("misbroadcast-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pandas as _pd
+
+    spark.createDataFrame(_pd.DataFrame({"k": range(64), "v": range(64)})) \
+        .groupBy("k").applyInPandas(lambda p: p, "k long, v long") \
+        .write.format("noop").mode("overwrite").save()
+
+    rows = sweep(spark, sf_dir, graded_and_bench_names())
 
     bad = [r for r in rows if r.get("raw_fact_broadcasts")]
     filtered = [r for r in rows if r.get("fact_broadcasts") and not r.get("raw_fact_broadcasts")]
@@ -192,8 +225,50 @@ def main() -> None:
             "size — adjudicated per query."
         ),
     }
+    # Reduced flags need ADJUDICATION, not a pass stamp: the classifier
+    # treats any pushed comparison filter / non-null Filter / Aggregate
+    # as "reduced", and round 11's own decontaminate fix proves a
+    # 75%-pass modulo filter defeats exactly that check. So every run
+    # diffs against the committed record and surfaces NEW entries of
+    # EITHER class loudly — a new reduced flag is un-adjudicated until
+    # someone writes its family down in SCALING.md and the canary
+    # allowlist (tests/test_misbroadcast_canary.py).
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "MISBROADCAST_AUDIT.json"), "w") as f:
+    out_path = os.path.join(root, "MISBROADCAST_AUDIT.json")
+    new_raw: list[str] = []
+    new_reduced: list[str] = []
+    diffed = False
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            # broadcast picks are size-driven, so only a SAME-tier diff
+            # is apples-to-apples (a fixture-tier run legitimately
+            # broadcasts facts the 100x tier must not).
+            if prev.get("tier") == tag:
+                diffed = True
+                new_raw = sorted(
+                    set(record["raw_fact_broadcasts"]) - set(prev.get("raw_fact_broadcasts", []))
+                )
+                new_reduced = sorted(
+                    set(record["reduced_fact_broadcasts"])
+                    - set(prev.get("reduced_fact_broadcasts", []))
+                    - set(prev.get("raw_fact_broadcasts", []))
+                )
+        except (json.JSONDecodeError, KeyError):
+            pass
+    record["new_since_committed"] = (
+        {"raw": new_raw, "reduced": new_reduced}
+        if diffed
+        else {"note": f"no committed same-tier ({tag}) record to diff against"}
+    )
+    if new_raw or new_reduced:
+        print(
+            "\n!! NEW fact broadcasts vs the committed record — "
+            f"ADJUDICATE before shipping: raw={new_raw} reduced={new_reduced}",
+            flush=True,
+        )
+    with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")
     print(

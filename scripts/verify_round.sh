@@ -11,7 +11,14 @@
 #      rounding-boundary divergence (engine round() semantics on exact
 #      .5 products) only manifests with enough rows. This is the net
 #      that catches hash bugs that are green at sf0.01.
-#   3. full pytest suite — the CLAUDE.md invariant.
+#   3. full pytest suite — the CLAUDE.md invariant. Includes the
+#      misbroadcast canary (tests/test_misbroadcast_canary.py): the
+#      scripts/misbroadcast_audit.py classifier over every graded +
+#      bench plan at fixture scale, failing on any fact-table
+#      broadcast not adjudicated in its allowlists — the net that
+#      caught two real scale bugs in round 11 now fires on every
+#      gate run, not only on manual gen_sf10 sweeps (which remain
+#      the round-close deep check for AQE-runtime conversions).
 #   4. bench smoke — bench.py must print exactly one JSON line.
 set -euo pipefail
 cd "$(dirname "$0")/.."
