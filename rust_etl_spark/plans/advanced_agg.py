@@ -56,10 +56,20 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
        hundred rows at ANY data scale) whose running offsets come from
        a triangular self-join, deliberately not a global window, so no
        single-partition stage exists anywhere in the plan;
-    3. one as-of lookup per row endpoint inside the bucket partition:
-       inclusive anchor at p (kind=2 sorts after the value row),
-       exclusive probe at p - W (kind=0 sorts before it, because a row
-       exactly W below is INSIDE the frame).
+    3. one as-of lookup per DISTINCT-PRICE endpoint inside the bucket
+       partition: inclusive anchor at p (kind=2 sorts after the value
+       row), exclusive probe at p - W (kind=0 sorts before it, because
+       a row exactly W below is INSIDE the frame). The frame aggregate
+       is a function of p alone and distinct prices are cent-quantized
+       over a bounded domain (1% of rows at the 100x tier), so the
+       endpoint explode + window + groupBy all run at DISTINCT scale
+       (round-12 re-plan: the round-2 form ran them per ORDER row —
+       2N rows through the window and a 2N-row groupBy over an N-key
+       domain, profiled as the two dominant stages);
+    4. order rows resolve by one equi-join on the exact price double
+       (bit-identical keys: the distinct values come from the same
+       column through groupBy), against a domain-bounded aggregate
+       side that Catalyst may broadcast while small and shuffle later.
 
     Bucket assignment floor(v / W) is monotone in v, so the
     "all lower buckets + in-bucket prefix" decomposition is exact even
@@ -98,23 +108,33 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # 3. endpoint lookups, both generated in ONE scan: per row an
-    # inclusive anchor at p (+1 * G(<= p)) and an exclusive probe at
-    # p - W (-1 * G(< p - W)).
-    p = F.col("o_totalprice")
-    lookups = o.select(
-        "o_orderkey",
+    # 3. endpoint lookups — PER DISTINCT PRICE, not per order row
+    # (round-12 re-plan): the frame aggregate G(<= p) - G(< p - W) is
+    # a function of p alone, and the price domain is cent-quantized
+    # over a bounded range, so distinct prices saturate sublinearly
+    # (149,743 at the 100x tier vs 15M order rows — 1%). The round-2
+    # form exploded TWO endpoint rows per ORDER, pushing 2N rows
+    # through the bucket window and a 2N-row groupBy over an N-key
+    # domain (profiled as the two dominant stages: 8.3 s warm at
+    # 100x); evaluating the identical machinery over the distinct-
+    # price table makes both stages ~1% of their size, and order rows
+    # resolve by one equi-join on the exact price double at the end
+    # (bit-identical join keys: v comes from the same column through
+    # groupBy). Per anchor price an inclusive anchor at p (+1 *
+    # G(<= p)) and an exclusive probe at p - W (-1 * G(< p - W)):
+    p = F.col("av")
+    anchors = g.select(F.col("v").alias("av"))
+    lookups = anchors.select(
+        "av",
         F.explode(
             F.array(
                 F.struct(
-                    p.alias("price"),
                     bkt(p).alias("b"),
                     p.alias("v"),
                     F.lit(2).alias("kind"),
                     F.lit(1).alias("sign"),
                 ),
                 F.struct(
-                    F.lit(None).cast("double").alias("price"),
                     bkt(p - w).alias("b"),
                     (p - w).alias("v"),
                     F.lit(0).alias("kind"),
@@ -122,7 +142,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("e"),
-    ).select("o_orderkey", "e.price", "e.b", "e.v", "e.kind", "e.sign")
+    ).select("av", "e.b", "e.v", "e.kind", "e.sign")
     union = idx.withColumn("kind", F.lit(1)).unionByName(lookups, allowMissingColumns=True)
     wl = Window.partitionBy("b").orderBy("v", "kind").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -135,14 +155,19 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved = looked.join(F.broadcast(boff), "b", "left")
     part_n = F.col("sign") * (F.coalesce("lcn", F.lit(0)) + F.coalesce("off_n", F.lit(0)))
     part_s = F.col("sign") * (F.coalesce("lcs", F.lit(0.0)) + F.coalesce("off_s", F.lit(0.0)))
-    return (
-        resolved.groupBy("o_orderkey")
-        .agg(
-            F.max("price").alias("o_totalprice"),
-            F.sum(part_n).cast("bigint").alias("n_near"),
-            F.round(F.sum(part_s), 2).alias("sum_near"),
-        )
-        .select("o_orderkey", "o_totalprice", "n_near", "sum_near")
+    per_price = resolved.groupBy("av").agg(
+        F.sum(part_n).cast("bigint").alias("n_near"),
+        F.round(F.sum(part_s), 2).alias("sum_near"),
+    )
+    # Join-back: shuffle_hash hinted with PER_PRICE (domain-bounded,
+    # 1% of rows) as the build side. Unhinted, the gate's misbroadcast
+    # canary caught Catalyst broadcasting the pruned ORDERS projection
+    # — the corpus-scaling side, the exact round-11 pathology this
+    # round's re-plan was supposed to avoid (its 2-column estimate
+    # sits under the threshold at small/mid tiers). SMJ on the price
+    # double is the spill-safe fallback.
+    return o.join(per_price.hint("shuffle_hash"), o.o_totalprice == per_price.av).select(
+        "o_orderkey", "o_totalprice", "n_near", "sum_near"
     )
 
 

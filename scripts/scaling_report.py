@@ -169,6 +169,24 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "window_range_frame_r12_replan": (
+        "round 12 gave the extended set's largest 100x wall (7.42-7.82 "
+        "s idle) the worst-query treatment and RE-PLANNED it: profiling "
+        "showed the cost was the per-ORDER endpoint explode (2N = 30M "
+        "rows through the bucket window) plus a 2N-row groupBy over an "
+        "N-key domain — while distinct prices are only 149,743 at "
+        "gen_sf10 (1% of rows; cent-quantized bounded domain). The "
+        "identical two-level prefix-sum machinery now runs per DISTINCT "
+        "price and order rows resolve by one equi-join on the exact "
+        "price double: 7.42 -> 2.81 s min-of-3 warm at gen_sf10, output "
+        "verified EXACTLY equal (exceptAll both directions = 0 over all "
+        "15M rows). The join-back is shuffle_hash-hinted building the "
+        "per-price side: unhinted, the new gate-resident misbroadcast "
+        "canary caught Catalyst broadcasting the pruned ORDERS "
+        "projection (the corpus-scaling side — the round-11 pathology, "
+        "caught this time at pytest cost before the code ever reached a "
+        "snapshot)."
+    ),
     "window_range_frame_chain3": (
         "the round-11 third chain (the PQ-swap regen) ran in a "
         "HOST-DEGRADED window — CPU anchor 1.257 s vs the same day's "
@@ -478,6 +496,20 @@ def _bucketed_section() -> list[str]:
         shuf_n = sorted(
             w["shuffle_write_mb"] / s for s in shuf_saves if s > shuf_floor
         )
+        # A tier where no query clears the 0.05 s / 5% floors leaves
+        # these lists empty (and the min() generators below would
+        # raise): render the honest "no measured saving" line instead
+        # of crashing the whole SCALING.md regeneration (ADVICE r11).
+        if not wall_n or not shuf_n:
+            breakeven_lines.append(
+                f"- **{fam['family']}** (at {t['tier']}): write "
+                f"{w['wall_sec']} s / {w['shuffle_write_mb']:.0f} MB; no "
+                f"per-query saving above the floors (0.05 s wall / "
+                f"{shuf_floor:.0f} MB shuffle) at this tier — break-even "
+                "n/a; the layout is not justified by these queries at "
+                "this scale."
+            )
+            continue
         breakeven_lines.append(
             f"- **{fam['family']}** (at {t['tier']}): write "
             f"{w['wall_sec']} s / {w['shuffle_write_mb']:.0f} MB; "

@@ -214,11 +214,21 @@ def main() -> None:
         for r in rows
         if r["tier"] == TIERS[-1][0] and r["profile"].startswith("stateful")
     }
-    lever = (
-        f"({big.get('stateful_profiles', 0) / 1e3:.0f}k -> "
-        f"{big.get('stateful_profiles_t8', 0) / 1e3:.0f}k rows/s at the "
-        "largest measured tier, this file's own rows)"
-    )
+    if "stateful_profiles" in big and "stateful_profiles_t8" in big:
+        lever = (
+            f"({big['stateful_profiles'] / 1e3:.0f}k -> "
+            f"{big['stateful_profiles_t8'] / 1e3:.0f}k rows/s at the "
+            "largest measured tier, this file's own rows)"
+        )
+    else:
+        # The largest tier was skipped (sf_dir missing): never quote a
+        # fabricated "0k -> 0k" lever in the authoritative JSON note —
+        # say what happened instead (ADVICE r11).
+        lever = (
+            f"(largest tier {TIERS[-1][0]} not measured this run — "
+            "lever ratio omitted; see the previous committed "
+            "STREAM_BENCH.json for the last measured values)"
+        )
     record = {
         "metric": "streaming_profiles",
         "n_files_per_run": N_FILES,
