@@ -185,7 +185,22 @@ WATCH_NOTES = {
         "canary caught Catalyst broadcasting the pruned ORDERS "
         "projection (the corpus-scaling side — the round-11 pathology, "
         "caught this time at pytest cost before the code ever reached a "
-        "snapshot)."
+        "snapshot). The round-12 chain recorded 5.61 s (min-of-3 spread "
+        "2.38 — in-chain cold-cache runs of [~6-8, ~3] shape); idle "
+        "warm-scan re-measure immediately after: 3.08 s min-of-3 "
+        "([6.21, 3.27, 3.08]), consistent with the pre-chain 2.81. "
+        "Compare future rounds against ~2.8-3.1 s idle, not the "
+        "chain-window record."
+    ),
+    "dedup_minhash_verified_r12": (
+        "round-12 chain recorded 2.50 -> 4.43 s at gen_sf10 on code "
+        "untouched since the round-11 hints (min-of-3 spread 1.48 — "
+        "the noise is in the record itself); idle re-measure "
+        "immediately after, documents warm-scanned first: 2.68 s "
+        "min-of-3 ([7.32, 3.06, 2.68] — the first run shows the cold "
+        "start the chain paid on all three). Closed as the "
+        "cold-page-cache family (the events_ewma mechanism); plan "
+        "unchanged, no re-plan warranted."
     ),
     "window_range_frame_chain3": (
         "the round-11 third chain (the PQ-swap regen) ran in a "
