@@ -424,28 +424,49 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The classic plan self-joins lineitem twice (EXISTS + NOT EXISTS).
     At 100 TB that is two extra shuffles of the largest table. This
     formulation aggregates once per (order, supplier) with a late
-    flag, once per order for supplier/late counts, then filters —
+    flag, then computes the per-order supplier/late counts with a
+    WINDOW over l_orderkey in the same pipeline, then filters —
     identical semantics (a supplier is "waiting" iff it is late and
     the order's only late supplier among >1 suppliers). The supplier
     dim broadcasts.
 
-    Shuffle accounting (measured at the 10x tier, round 6): this is
-    the suite's largest shuffle writer (188 MB, ~1.6x its input)
-    because the (order, supplier) groupBy, the per-order re-aggregate,
-    and the flagged-x-per_order join each re-cluster the lineitem
-    grain — but each exchange carries POST-partial-aggregate rows. The
-    tempting alternative (one up-front ``repartition("l_orderkey")``
-    whose clustering satisfies every downstream requirement) was
-    measured 40% WORSE (267 MB, 4x wall): it shuffles the raw joined
-    rows before any combining, and the repartition exchange is not
-    reused across the self-join branches. Partial-agg exchanges beat
-    one wide exchange here; the 9.8x cross-tier shuffle ratio is
-    linear (SCALING.md).
+    Round-12 re-plan (the round's second worst-query treatment): the
+    round-6 form computed per-order counts as a separate groupBy then
+    JOINED it back to flagged — and the executed plan showed the
+    entire lineitem-join-orders-aggregate subtree EXECUTING TWICE
+    (distinct expression IDs across the self-join branches defeat
+    ReusedExchange: both fact scans, both join exchanges, and the
+    (order, supplier) aggregate all ran once per branch — profiled as
+    the bulk of the 10.4 s wall at the 100x tier). The window form
+    computes the same two aggregates over the SAME hash-partitioned
+    output the join exchange already produced — EnsureRequirements
+    inserts only a local sort, no exchange, and the self-join
+    disappears: one lineitem scan, one orders scan, one big SMJ.
+    Measured same-session old-vs-new at the 100x tier: 11.41 ->
+    6.37 s min-of-4 warm (1.8x; the remaining wall is the two
+    fact-side join shuffles both forms pay once), outputs verified
+    EXACTLY equal (exceptAll both directions = 0). This does NOT violate the no-window-argmin rule
+    (CLAUDE.md): that rule bans windows that shuffle a PRE-aggregate
+    row set a min(struct) could map-side combine; this window's input
+    is already the post-aggregate (order, supplier) grain it must be,
+    the partition key is bounded (suppliers per order, p99 single
+    digits), and the window REPLACES a shuffle join instead of adding
+    an exchange.
+
+    Shuffle accounting (round-6 numbers, still the relevant
+    comparison): the groupBy/join form wrote 188 MB at the 10x tier
+    across three post-partial-aggregate exchanges; the up-front
+    ``repartition("l_orderkey")`` alternative measured 40% WORSE
+    (267 MB, 4x wall) because it shuffles raw pre-combine rows — and
+    the same lesson is why the window form wins: it reuses the join's
+    clustering instead of paying any new exchange at all.
 
     Adapted to this fixture's columns: no l_commitdate/l_receiptdate
     exist, so "late" is ship-lag (l_shipdate - o_orderdate) beyond a
     threshold (reference has no such query; extension surface).
     """
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -462,11 +483,15 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    wo = Window.partitionBy("l_orderkey")
     return (
-        flagged.join(per_order, "l_orderkey")
+        flagged.select(
+            "l_orderkey",
+            "l_suppkey",
+            "is_late",
+            F.count(F.lit(1)).over(wo).alias("n_supp"),
+            F.sum("is_late").over(wo).alias("n_late"),
+        )
         .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

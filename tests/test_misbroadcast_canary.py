@@ -52,7 +52,7 @@ RAW_OK_AT_FIXTURE_SCALE = {
     "q9_product_profit": "same orders crossover family",
     "q10_returned_items": "same orders crossover family",
     "q18_large_volume": "same orders crossover family",
-    "q21_sole_late_supplier": "same orders crossover family (orders x2: exists/not-exists probes)",
+    "q21_sole_late_supplier": "same orders crossover family (the flagged-pipeline join)",
     "dedup_embedding_lsh": "embeddings tiny at fixture; sqrt(N) codebook side at scale "
     "(reduced, not raw, in the gen_sf10 audit)",
 }
