@@ -192,6 +192,22 @@ WATCH_NOTES = {
         "Compare future rounds against ~2.8-3.1 s idle, not the "
         "chain-window record."
     ),
+    "q21_r12_replan": (
+        "round 12's second worst-query treatment: q21's decorrelated "
+        "groupBy-then-join-back form was executing the entire "
+        "lineitem-join-orders-aggregate subtree TWICE (the self-join "
+        "branches carry distinct expression IDs, defeating "
+        "ReusedExchange — verified in the executed plan: two lineitem "
+        "scans, two join exchanges, two (order,supplier) aggregates). "
+        "Replaced the join-back with count/sum windows over "
+        "l_orderkey computed on the clustering the join exchange "
+        "already provides (local sort only, no new exchange, "
+        "self-join gone): same-session old-vs-new at gen_sf10 11.41 "
+        "-> 6.37 s min-of-4 warm, outputs exactly equal (exceptAll "
+        "= 0). Not a no-window-argmin violation: the window input is "
+        "the post-aggregate grain, partition key bounded (suppliers "
+        "per order), and it REMOVES a shuffle join."
+    ),
     "dedup_minhash_verified_r12": (
         "round-12 chain recorded 2.50 -> 4.43 s at gen_sf10 on code "
         "untouched since the round-11 hints (min-of-3 spread 1.48 — "
