@@ -346,17 +346,41 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier revenue by nation (TPC-H Q5 join topology).
 
-    Scale posture: region/nation filters prune before any join;
-    supplier and the nation/region dims broadcast (KB-sized), so only
-    lineitem⋈orders and ⋈customer shuffle — both on their natural
-    keys with the date filter already applied to orders. The
-    same-nation predicate rides the joined row (no extra join).
+    Scale posture: the region restriction is pushed through BOTH dim
+    arms before either fact shuffle. The round-6 form shuffled the
+    full lineitem on l_orderkey and the full join result on o_custkey,
+    then applied the supplier/nation predicates last; since every join
+    is inner and the predicates are conjunctive, they reorder freely —
+    so the ASIA-supplier broadcast semi-probe now prunes lineitem to
+    ~1/5 of its rows BEFORE the orderkey exchange, and customer is cut
+    to ASIA nations (carrying n_name) before the custkey exchange,
+    which also makes orders⋈customer selective (~date-window x 1/5) so
+    the orderkey exchange's probe side shrinks the same way. The
+    per-order side is hinted shuffle_hash: it is filtered but still
+    corpus-scaling, and Catalyst's static estimate would otherwise
+    broadcast it at mid tiers (the round-11 misbroadcast pathology).
+    5.9 -> 2.x s min-of-3 warm at gen_sf10; outputs exactly equal.
+    The same-nation predicate rides the joined row (no extra join).
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     ).select("n_nationkey", "n_name")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -365,16 +389,16 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey")
     )
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
+    li_asia = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    ord_cust = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li_asia.join(
+            ord_cust.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.round(
