@@ -55,6 +55,38 @@ def l2sq_sql(a_expr: str, b_expr: str, ndigits: int = 6) -> str:
     return f"round(list_reduce({diff}, (acc, x) -> acc + x), {ndigits})"
 
 
+def l2sq_rhu(a: Column, b: Column, ndigits: int = 6) -> Column:
+    """:func:`l2sq` with PORTABLE floor-based rounding (round_half_up)
+    instead of ``F.round`` — for operators whose numpy kernels mirror
+    the rounding bit-for-bit (distances are non-negative, so the
+    half-toward-+inf caveat never applies). The IVF assignment family
+    migrated here in round 12 per the CLAUDE.md rounding rule."""
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    return round_half_up(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        ndigits,
+    )
+
+
+def l2sq_rhu_sql(a_expr: str, b_expr: str, ndigits: int = 6) -> str:
+    """DuckDB mirror of :func:`l2sq_rhu` — same fold order, same
+    floor-based rounding, bit-identical to the numpy assignment
+    kernel's ``floor(d * 10^n + 0.5) / 10^n`` by construction."""
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    diff = (
+        f"list_transform(range(1, len({a_expr}) + 1), "
+        f"i -> (CAST(({a_expr})[i] AS DOUBLE) - CAST(({b_expr})[i] AS DOUBLE)) "
+        f"* (CAST(({a_expr})[i] AS DOUBLE) - CAST(({b_expr})[i] AS DOUBLE)))"
+    )
+    return round_half_up_sql(f"list_reduce({diff}, (acc, x) -> acc + x)", ndigits)
+
+
 def cosine_sql(a_expr: str, b_expr: str, ndigits: int = 6) -> str:
     """DuckDB mirror of :func:`cosine` — double-widened, same rounding."""
     da = f"list_transform({a_expr}, x -> CAST(x AS DOUBLE))"

@@ -33,7 +33,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rust_etl_spark.functions.hashing import md5_long60_sql
-from rust_etl_spark.functions.vectors import cosine, cosine_sql, l2sq, l2sq_sql, to_double_array
+from rust_etl_spark.functions.vectors import (
+    cosine,
+    cosine_sql,
+    l2sq,
+    l2sq_rhu_sql,
+    l2sq_sql,
+    to_double_array,
+)
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table, table_rows
 
@@ -479,7 +486,7 @@ _ASSIGN_SQL = f"""
             SELECT c.cid, s.sid,
                    row_number() OVER (
                        PARTITION BY c.cid
-                       ORDER BY {l2sq_sql('c.cvec', 's.svec')}, s.sid) AS rn
+                       ORDER BY {l2sq_rhu_sql('c.cvec', 's.svec')}, s.sid) AS rn
             FROM centroids c CROSS JOIN supers s
         ) t WHERE rn = 1
     ),
@@ -492,17 +499,17 @@ _ASSIGN_SQL = f"""
             SELECT e.vec_id, s.sid,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {l2sq_sql('e.embedding', 's.svec')}, s.sid) AS rn
+                       ORDER BY {l2sq_rhu_sql('e.embedding', 's.svec')}, s.sid) AS rn
             FROM embeddings e CROSS JOIN supers s
         ) t WHERE rn <= 2
     ),
     assign AS (
         SELECT vec_id, cid, dist FROM (
             SELECT e.vec_id, c.cid,
-                   {l2sq_sql('e.embedding', 'c.cvec')} AS dist,
+                   {l2sq_rhu_sql('e.embedding', 'c.cvec')} AS dist,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {l2sq_sql('e.embedding', 'c.cvec')}, c.cid) AS rn
+                       ORDER BY {l2sq_rhu_sql('e.embedding', 'c.cvec')}, c.cid) AS rn
             FROM embeddings e
             JOIN vec_super vs ON vs.vec_id = e.vec_id
             JOIN cent_super ca ON ca.sid = vs.sid
@@ -512,71 +519,84 @@ _ASSIGN_SQL = f"""
 """
 
 
-def _argmin_over(vec_col, arr_col, id_field: str, vec_field: str):
-    """struct(dist, id) of the array element nearest to ``vec_col``.
+def _ivf_l2sq_np(X, C, ndigits: int = 6):
+    """(n, k) rounded squared-L2 distance matrix — the numpy mirror of
+    the SQL oracle's left-associated per-dimension fold.
 
-    A single in-row fold over an array of (id, vector) structs:
-    ``F.least`` on structs is the lexicographic (dist, id) min, so ties
-    break to the lower id exactly like ``ORDER BY dist, <id>`` — and
-    the fold stays inside whole-stage codegen (nested
-    aggregate-in-aggregate over a literal codebook, the same pattern
-    the PQ family used through round 10 before its numpy swap)."""
-    init = F.struct(
-        F.lit(float("inf")).cast("double").alias("dist"),
-        F.lit(-1).cast("long").alias("id"),
-    )
-    return F.aggregate(
-        arr_col,
-        init,
-        lambda acc, s: F.least(
-            acc,
-            F.struct(
-                l2sq(vec_col, s[vec_field]).alias("dist"),
-                s[id_field].cast("long").alias("id"),
-            ),
-        ),
-    )
+    Order parity is explicit, exactly as in :func:`_pq_subspace_scan`:
+    the accumulation is a Python loop of numpy adds over dimensions in
+    index order (``d = t0; d += t1; ...``) — never ``np.sum``, whose
+    pairwise summation reassociates and can flip ulp-tied argmins.
+    ``(x - c) * (x - c)`` is the same two IEEE ops both engines run,
+    and float32 -> float64 input widening is value-exact. Rounding is
+    the portable floor form (``floor(x * 1e6 + 0.5) / 1e6`` ==
+    functions/rounding.round_half_up — distances are non-negative), to
+    which the oracle's l2sq_rhu_sql is bit-identical by construction;
+    the legacy ``F.round``/DuckDB-``round`` pair this replaces agreed
+    only empirically on boundary values (CLAUDE.md)."""
+    import numpy as np
 
-
-def _argmin2_over(vec_col, arr_col, id_field: str, vec_field: str):
-    """struct(first struct(dist,id), second struct(dist,id)): the TWO
-    nearest array elements, same lexicographic (dist, id) tie-break as
-    :func:`_argmin_over`. One fold; per element the running pair
-    updates as ``first' = least(first, cand)``, ``second' =
-    least(greatest(first, cand), second)`` — the branch-free two-min
-    recurrence. ``second.id`` is -1 when the array has < 2 elements."""
-    inf_pair = lambda: F.struct(  # noqa: E731
-        F.lit(float("inf")).cast("double").alias("dist"),
-        F.lit(-1).cast("long").alias("id"),
-    )
-    init = F.struct(inf_pair().alias("first"), inf_pair().alias("second"))
-    return F.aggregate(
-        arr_col,
-        init,
-        lambda acc, s: (
-            lambda cand: F.struct(
-                F.least(acc["first"], cand).alias("first"),
-                F.least(F.greatest(acc["first"], cand), acc["second"]).alias("second"),
-            )
-        )(
-            F.struct(
-                l2sq(vec_col, s[vec_field]).alias("dist"),
-                s[id_field].cast("long").alias("id"),
-            )
-        ),
-    )
+    d = None
+    for i in range(X.shape[1]):
+        t = X[:, i:i + 1] - C[None, :, i]
+        t = t * t
+        d = t if d is None else d + t
+    s = float(10 ** ndigits)
+    return np.floor(d * s + 0.5) / s
 
 
-def _pack_codebook(cent: DataFrame, id_out: str, vec_out: str, arr_name: str) -> DataFrame:
-    """One-row DataFrame holding the codebook as an array of structs —
-    the broadcast-literal form every assignment fold consumes. Bounded:
-    the codebook is ~sqrt(N) x dims doubles (MB-scale at any tier the
-    mod rule produces; see ivf_mod)."""
-    return cent.agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("cid").alias(id_out), F.col("cvec").alias(vec_out)))
-        ).alias(arr_name)
-    )
+def _ivf_assign_batches(C_ids, C, S_ids, S, child_sid, keep_vec: bool):
+    """mapInPandas body for :func:`assign_to_cells` — module-level so
+    the kernel contract is unit-testable without a cluster, like the
+    PQ kernels. Empty Arrow batches are skipped (an upstream filter or
+    repartition can emit one, and np.vstack rejects an empty
+    sequence).
+
+    ``S is None`` -> flat exact argmin over all centroids. Else the
+    two-level probe: top-2 supers by (dist, sid) — ``argmin`` is
+    first-min, i.e. lowest sid among exact ties, matching ``ORDER BY
+    dist, sid``; the second probe is argmin after masking the first to
+    +inf — then argmin over the union of both supers' children,
+    implemented as the dense centroid distance matrix with
+    non-children masked to +inf (the centroid axis is cid-sorted, so
+    first-min = lowest cid among ties, matching the fold's
+    lexicographic (dist, cid) least). When only one super exists the
+    masked second argmin re-selects it — the child union is unchanged.
+    A row with no finite candidate yields (cid=-1, dist=inf), the
+    fold's init pair; the childless-super fixture in
+    tests/test_ivf_hier_parity.py pins that no real corpus row ever
+    hits it (the second super's children always cover)."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            D = _ivf_l2sq_np(X, C)
+            if S is not None:
+                DS = _ivf_l2sq_np(X, S)
+                rows = np.arange(len(X))
+                j1 = DS.argmin(axis=1)
+                DS[rows, j1] = np.inf
+                j2 = DS.argmin(axis=1)
+                sid1, sid2 = S_ids[j1], S_ids[j2]
+                allowed = (child_sid[None, :] == sid1[:, None]) | (
+                    child_sid[None, :] == sid2[:, None]
+                )
+                D = np.where(allowed, D, np.inf)
+            j = D.argmin(axis=1)
+            dist = D[np.arange(D.shape[0]), j]
+            cid = np.where(np.isinf(dist), np.int64(-1), C_ids[j])
+            out = {"vec_id": pdf["vec_id"].values}
+            if keep_vec:
+                out["v"] = pdf["v"]
+            out["cid"] = cid.astype(np.int64)
+            out["dist"] = dist
+            yield pd.DataFrame(out)
+
+    return assign
 
 
 def assign_to_cells(
@@ -585,74 +605,58 @@ def assign_to_cells(
     """(vec_id, cid, dist): nearest-centroid assignment of ``vdf``
     (vec_id, v) against codebook ``cent`` (cid, cvec).
 
-    ``super_step is None`` -> EXACT flat argmin: one fold per row over
-    the broadcast codebook array — zero shuffle on the vector side
-    (the round-6 min(struct) re-plan shuffled ~N pre-combined rows;
-    this form shuffles nothing).
+    The codebook collects to the driver once — bounded at ~sqrt(N) x
+    dims doubles by the ivf_mod rule (MB-scale at any tier), the same
+    documented bound as the PQ/Lloyd codebooks — and ships in the
+    mapInPandas closure, so assignment is a PURE MAP: zero shuffle on
+    the vector side at any corpus size, no broadcast exchange at all.
 
+    ``super_step is None`` -> exact flat argmin over all centroids.
     ``super_step`` set -> two-level: supers = centroids with cid %
-    super_step == 0; centroids attach to their nearest super
-    (broadcast C-row stage), vectors fold over ~sqrt(C) supers, then
-    over the TOP-2 supers' ~2*sqrt(C) children via broadcast joins
-    (multi-probe: near-boundary vectors recover the neighbor-super
-    child a single probe misses — the IMI standard; child sets are
-    disjoint so the union has no duplicates) — still zero shuffle on
-    the vector side, per-vector work ~3*sqrt(C).
+    super_step == 0; each centroid attaches to its nearest super
+    (computed driver-side on the collected codebook with the same
+    kernel); each vector probes its TOP-2 supers and argmins over the
+    union of their children (multi-probe: near-boundary vectors
+    recover the neighbor-super child a single probe misses — the IMI
+    standard). Per-vector distance work is C (dense matrix, cheaper
+    vectorized than masking first); candidate ELIGIBILITY stays the
+    ~2*sqrt(C) two-super child union, mirrored exactly by the oracle.
+
+    History: through round 12 this was a Catalyst higher-order fold
+    (struct-least aggregates over broadcast codebook arrays — see
+    _pq_subspace_scan for the identical PQ story). The fold paid
+    per-element lambda overhead on a dense fixed-shape FP argmin:
+    swapping to Arrow/numpy with the identical left-associated
+    arithmetic took kmeans_iterate 4.6 -> ~1 s at the 100x tier,
+    outputs verified exactly equal at every tier (flat and two-level)
+    before shipping. Rounding migrated F.round -> round_half_up on
+    both engines in the same change (the portable form; CLAUDE.md).
 
     ``keep_vec`` carries the input vector through as column ``v`` (for
     callers like the Lloyd mean that need (cid, v) without re-joining
     the source — the re-join would be the only shuffle in the plan).
     """
-    extra = ["v"] if keep_vec else []
+    import numpy as np
+
+    rows = cent.select("cid", "cvec").orderBy("cid").collect()
+    assert rows, "empty centroid codebook"
+    C_ids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([r["cvec"] for r in rows], dtype=np.float64)
     if super_step is None:
-        flat = _pack_codebook(cent, "cid", "cvec", "cells")
-        best = vdf.crossJoin(F.broadcast(flat)).select(
-            "vec_id", *extra,
-            _argmin_over(F.col("v"), F.col("cells"), "cid", "cvec").alias("m"),
-        )
+        S_ids = S = child_sid = None
     else:
-        sup = cent.filter(F.col("cid") % super_step == 0)
-        sup_arr = _pack_codebook(sup, "sid", "svec", "sups")
-        cent_super = cent.crossJoin(F.broadcast(sup_arr)).select(
-            "cid", "cvec",
-            _argmin_over(F.col("cvec"), F.col("sups"), "sid", "svec")["id"].alias("sid"),
-        )
-        kids = cent_super.groupBy("sid").agg(
-            F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("kids")
-        )
-        top2 = _argmin2_over(F.col("v"), F.col("sups"), "sid", "svec")
-        vec_super = vdf.crossJoin(F.broadcast(sup_arr)).select(
-            "vec_id", "v",
-            top2["first"]["id"].alias("sid"),
-            top2["second"]["id"].alias("sid2"),
-        )
-        kids2 = kids.select(F.col("sid").alias("sid2"), F.col("kids").alias("kids2"))
-        # BOTH kid joins are LEFT joins with empty-array coalesce: sid2 is
-        # -1 when only one super exists, and sid's own child set can be
-        # EMPTY when two supers share an identical vector (the higher-id
-        # duplicate attaches to the lower-id super instead of itself) — an
-        # inner join here would silently drop every vector nearest that
-        # childless super, diverging from the oracle, which keeps those
-        # vectors via the second super's children.
-        empty_kids = F.expr("array()").cast("array<struct<cid:bigint,cvec:array<double>>>")
-        best = (
-            vec_super.join(F.broadcast(kids), "sid", "left")
-            .join(F.broadcast(kids2), "sid2", "left")
-            .select(
-                "vec_id", *extra,
-                _argmin_over(
-                    F.col("v"),
-                    F.concat(
-                        F.coalesce(F.col("kids"), empty_kids),
-                        F.coalesce(F.col("kids2"), empty_kids),
-                    ),
-                    "cid",
-                    "cvec",
-                ).alias("m"),
-            )
-        )
-    return best.select(
-        "vec_id", *extra, F.col("m.id").alias("cid"), F.col("m.dist").alias("dist")
+        mask = C_ids % super_step == 0
+        S_ids, S = C_ids[mask], C[mask]
+        # cent -> nearest super by (dist, sid): argmin over the
+        # sid-sorted super axis is first-min = lowest sid on ties.
+        child_sid = S_ids[_ivf_l2sq_np(C, S).argmin(axis=1)]
+    schema = (
+        "vec_id long"
+        + (", v array<double>" if keep_vec else "")
+        + ", cid long, dist double"
+    )
+    return vdf.select("vec_id", "v").mapInPandas(
+        _ivf_assign_batches(C_ids, C, S_ids, S, child_sid, keep_vec), schema
     )
 
 

@@ -74,8 +74,9 @@ REDUCED_OK = {
     "events_seasonal_decompose": "day-of-week seasonal grid",
     "events_rolling_distinct": "day-grain distinct grid (bounded by date span)",
     "window_range_frame": "value-bucket dimension (bounded bucket domain)",
-    # sublinear codebooks / vocabularies
-    "kmeans_iterate": "sqrt(N) centroid codebook",
+    # sublinear codebooks / vocabularies (kmeans_iterate retired in
+    # round 12: the numpy assignment kernel ships the codebook in the
+    # mapInPandas closure — no broadcast exchange remains in its plan)
     "text_tfidf": "token-type vocabulary (Heaps-law sublinear)",
     "lm_quality_score": "LM vocabulary fold (Heaps-law)",
     "lm_bigram_score": "bigram LM fold (Heaps-law)",
