@@ -675,7 +675,7 @@ def ivf_assignments(
     sizing comment at ivf_super_factor: O(N^1.25) instead of the exact
     O(N^1.5); the oracle mirrors the hierarchy exactly). Zero shuffle
     on the vector side either way — assignment is a pure map against
-    broadcast codebook arrays.
+    the closure-shipped codebook (numpy kernel; no broadcast exchange).
 
     Pass ``mod``/``n_vectors`` when the caller already derived them:
     ivf_mod needs a full count() job, and a caller that also sizes its
@@ -724,7 +724,7 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="One Lloyd (k-means) iteration: argmin-L2 assignment to the deterministic "
     "centroids, then per-(cell, dimension) mean — the building block of iterative "
     "clustering expressed as assignment + aggregation (each iteration is one "
-    "broadcast-probe plus one high-cardinality groupBy; no driver-side vectors).",
+    "codebook-probe map plus one high-cardinality groupBy; the codebook is the only driver-side state).",
 )
 def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -747,7 +747,7 @@ KMEANS_ITERS = 3
     "kmeans_lloyd",
     oracle=None,  # iterative refinement; validated against a NumPy reference in tests/test_probes.py
     doc=f"{KMEANS_ITERS} Lloyd iterations from the deterministic IVF codebook: "
-    "each round is one broadcast-probe assignment + one per-(cell, dim) mean, "
+    "each round is one codebook-probe map assignment + one per-(cell, dim) mean, "
     "centroids re-collected to the driver between rounds (a codebook is KB-sized "
     "at any corpus scale; the per-vector work stays distributed).",
 )

@@ -405,16 +405,25 @@ def _mid_tier_section(b0: dict, b1: dict) -> list[str]:
         "  `ivf_super_factor`-th centroid, ~sqrt(C) of them), each",
         "  vector folds over the supers then over its TOP-2 supers'",
         "  children (IMI-style multi-probe) — O(N^1.25) total, still",
-        "  zero vector-side shuffle (in-row folds over broadcast",
-        "  codebook arrays), mirrored integer-for-integer in the DuckDB",
-        "  oracle (f=1 at every graded tier <= 30x, so graded results",
-        "  stay bit-identical; hierarchy-active parity is pinned by",
-        "  tests/test_ivf_hier_parity.py). Measured at 100x:",
-        "  similarity_ann_ivf ~19 -> 10.6 s, kmeans_iterate 25-50 ->",
-        "  6.9 s (SCALE_AUDIT_gen_sf10.md), both zero spill. The",
-        "  residual trade — hierarchical assignment is approximate at",
-        "  cell boundaries — is quantified in CATALOG.md's recall",
-        "  appendix and recovered by the scaled `ivf_nprobe` default.",
+        "  zero vector-side shuffle, mirrored integer-for-integer in",
+        "  the DuckDB oracle (f=1 at every graded tier <= 30x, so",
+        "  graded results stay bit-identical; hierarchy-active parity",
+        "  is pinned by tests/test_ivf_hier_parity.py). Measured at",
+        "  100x after round 9: similarity_ann_ivf ~19 -> 10.6 s,",
+        "  kmeans_iterate 25-50 -> 6.9 s, both zero spill. Round 12",
+        "  re-kernelled the assignment itself (the round-11 PQ",
+        "  precedent): the struct-least Catalyst folds over broadcast",
+        "  codebook arrays became an Arrow/numpy mapInPandas with the",
+        "  ~sqrt(N)-bounded codebook shipped in the closure — a pure",
+        "  map, zero broadcast exchange left in the plan, same",
+        "  left-associated arithmetic and first-min tie-breaks, with",
+        "  the family's l2sq rounding migrated F.round ->",
+        "  round_half_up on both engines (bit-identical by",
+        "  construction); old-vs-new exceptAll = 0 at every tier,",
+        "  kmeans_iterate 4.61 -> 2.33 s at 100x. The residual trade —",
+        "  hierarchical assignment is approximate at cell boundaries —",
+        "  is quantified in CATALOG.md's recall appendix and recovered",
+        "  by the scaled `ivf_nprobe` default.",
         "",
     ]
     return lines
@@ -773,8 +782,10 @@ def _misbroadcast_section() -> list[str]:
         "bounded at 1 row by construction); bounded-domain aggregates "
         "(day/type grids: events_zscore/anomaly_mad/seasonal_decompose"
         "/rolling_distinct; value-bucket dimension: window_range_frame"
-        "); sublinear codebooks (kmeans_iterate, dedup_embedding_lsh — "
-        "sqrt(N)-sized by derivation); vocabulary/LM folds "
+        "); sublinear codebooks (dedup_embedding_lsh — sqrt(N)-sized "
+        "by derivation; kmeans_iterate left this list in round 12: its "
+        "numpy assignment kernel ships the codebook in the mapInPandas "
+        "closure, no broadcast remains); vocabulary/LM folds "
         "(text_tfidf, lm_quality_score, lm_bigram_score — token-type "
         "domains grow ~Heaps-law sublinearly); the benchmark eval side "
         "(decontaminate — MBs at 100 TB by design); the stored band "
