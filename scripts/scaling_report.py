@@ -218,6 +218,29 @@ WATCH_NOTES = {
         "cold-page-cache family (the events_ewma mechanism); plan "
         "unchanged, no re-plan warranted."
     ),
+    "r12_second_chain_movers": (
+        "the second round-12 chain (q16/q5/IVF-kernel regen) ran "
+        "into the SAME host pattern: anchor 0.88 -> 0.992 across "
+        "chains, and a VM-external load spike right after (load avg "
+        "9-14 with zero VM processes; anchor 1.09-1.49 before "
+        "settling at ~1.0-1.1). Untouched-code movers at gen_sf10, "
+        "each idle re-measured with the warm-scan + NOOP-action "
+        "protocol (an early re-measure mistake worth recording: "
+        ".collect() is NOT the bench action — for wide-output "
+        "queries like events_json_extract it times driver "
+        "materialization and reads 2-4x high): kmeans_iterate chain "
+        "5.63 vs idle 2.99 min-of-4 ([24.2, 4.1, 3.5, 3.0] — "
+        "anchor-adjusted this IS the post-swap ~2.3 s value); "
+        "events_json_extract chain 7.55 vs idle-noop 3.86 "
+        "([16.7, 14.9, 5.3, 3.9] — the non-self-warming descent "
+        "signature); events_range_join chain 2.76 vs idle-noop 1.91 "
+        "([5.71, 3.81, 1.91, 1.93] — anchor-adjusted ~1.7, exactly "
+        "the round-11 RANGE_JOIN_REGIMES value); q21 chain 7.42 at "
+        "anchor 0.992 vs 6.37 same-session at the healthier morning "
+        "window — consistent, no action. All closed as the "
+        "cold-cache/host-window families; no plan changed for any "
+        "of them this chain."
+    ),
     "window_range_frame_chain3": (
         "the round-11 third chain (the PQ-swap regen) ran in a "
         "HOST-DEGRADED window — CPU anchor 1.257 s vs the same day's "
