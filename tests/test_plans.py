@@ -202,6 +202,51 @@ def test_decontaminate_never_broadcasts_the_training_side(spark):
     assert all("sh#" in l for l in bhj), bhj
 
 
+def test_q16_has_no_pair_distinct_exchange(spark):
+    """Round-12 re-plan lock: the oracle's (part, supplier)
+    pre-distinct is REDUNDANT for count(DISTINCT l_suppkey) per
+    (brand, type, size) — the round-6 form shuffled every lineitem row
+    through a two-column distinct() (the plan's dominant exchange at
+    the 100x tier, 6.6 -> 2.1 s when removed). Locked: no Exchange
+    partitions on l_partkey (the old distinct's shuffle key), and the
+    only hash exchanges are the two-phase distinct aggregate's own
+    (group keys + suppkey, then group keys)."""
+    plan = _executed_plan(spark, "q16_part_supplier_variety")
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) == 2, hash_ex
+    assert not any("l_partkey" in l for l in hash_ex), hash_ex
+    # the part filter join must run BELOW the distinct-aggregate
+    # exchange (i.e. before any shuffle), pruning the fact scan first
+    first_ex = plan.index("Exchange hashpartitioning")
+    part_join = plan.index("BroadcastHashJoin [l_partkey")
+    assert part_join > first_ex, "part join no longer below the aggregate exchange"
+
+
+def test_q5_prunes_both_fact_exchanges_and_never_broadcasts_the_order_side(spark):
+    """Round-12 re-plan lock: the ASIA restriction must prune
+    lineitem (supplier broadcast probe) BELOW the l_orderkey exchange
+    and the per-order side must never be broadcast-built — it is
+    filtered but corpus-scaling (the round-11 misbroadcast pathology;
+    hinted shuffle_hash, SMJ on the same keys is the spill-safe
+    fallback)."""
+    plan = _executed_plan(spark, "q5_local_supplier")
+    lines = plan.splitlines()
+    # no broadcast build of anything carrying the per-order join key
+    assert not any(
+        "BroadcastHashJoin" in l and "o_orderkey" in l for l in lines
+    ), plan
+    big_join = [
+        l for l in lines if ("ShuffledHashJoin" in l or "SortMergeJoin" in l)
+        and "l_orderkey" in l
+    ]
+    assert big_join, plan
+    # the supplier probe join sits below the lineitem-side exchange
+    # (tree prints parent before child)
+    ex_idx = plan.index("hashpartitioning(s_nationkey")
+    supp_idx = plan.index("BroadcastHashJoin [l_suppkey")
+    assert supp_idx > ex_idx, "supplier probe no longer below the orderkey exchange"
+
+
 def test_dataset_mix_is_map_side_only(spark):
     """Weighted mixing is a pure filter: any Exchange means the
     hash-threshold filter regressed into something shuffled."""
