@@ -241,6 +241,21 @@ WATCH_NOTES = {
         "cold-cache/host-window families; no plan changed for any "
         "of them this chain."
     ),
+    "r12_third_chain_movers": (
+        "the third round-12 chain (events_json_extract regen, anchor "
+        "0.972 — par with the second's 0.992) confirmed the two "
+        "prior adjudications in-chain (events_json_extract 7.55 -> "
+        "2.77 after the from_json re-plan; kmeans_iterate 5.63 -> "
+        "2.10, the numpy-kernel value the second chain's host window "
+        "had masked) and produced three movers, each idle "
+        "warm-scan re-measured at anchor 0.999: events_ewma 9.96 "
+        "chain / 3.79 idle min-of-3 — the permanent cold-cache "
+        "note's exact oscillation; q10_returned_items 6.94 / 5.06 — "
+        "back to the prior chain's value; window_range_frame 3.33 "
+        "(spread 9.8, first-run cold) / 3.27 idle — at its "
+        "post-re-plan ~2.8-3.3 band. All closed; extended total "
+        "108.6 -> 101.1 s across the two chains."
+    ),
     "window_range_frame_chain3": (
         "the round-11 third chain (the PQ-swap regen) ran in a "
         "HOST-DEGRADED window — CPU anchor 1.257 s vs the same day's "
