@@ -138,11 +138,13 @@ _DECON_SHINGLES_SQL = f"list_distinct({word_shingles_sql(tokens_sql('text'), DEC
     """,
     doc=f"Benchmark decontamination: flag training docs sharing any distinct "
     f"{DECON_NGRAM}-gram with the held-out eval split (the GPT-3/Pile n-gram-overlap "
-    "scrub). Eval n-grams are DISTINCT-collapsed then broadcast — at 100 TB the "
-    "benchmark side is MBs, so the training scan never shuffles on content; per-doc "
-    "totals ride an explode-free in-row size() branch joined back on doc_id "
-    "(one skinny row per doc — replaced the doc_id window over the full exploded "
-    "shingle set, the query's only big shuffle, in round 10).",
+    "scrub). Eval n-grams are DISTINCT-collapsed then shuffle_hash-joined as the "
+    "build side (round 13: the eval broadcast WAS the wall — building/probing a "
+    "5.6M-string hash relation cost ~6 s of the 10.3 s 100x total; distributing "
+    "the build is 1.4x and removes the synthetic's corpus-scaling broadcast); "
+    "per-doc totals ride an explode-free in-row size() branch joined back on "
+    "doc_id (one skinny row per doc — replaced the doc_id window over the full "
+    "exploded shingle set, the query's only big shuffle, in round 10).",
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-training-doc count of distinct n-grams that also occur in the
@@ -154,13 +156,32 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this equals the count the round-≤9 form computed with a
     doc_id window over the full exploded training-shingle set (the
     window was the query's only big shuffle: 495 MB at the 100x tier,
-    eliminated in round 10). The eval-side distinct set is broadcast
-    (benchmarks are tiny relative to a training corpus), so
-    contaminated-doc detection costs one linear pass over training
-    shingles; the only remaining shuffles are the eval distinct and
-    the final groupBy over contaminated docs only. Extends the
-    reference's corpus-hygiene surface (no equivalent op exists there;
-    cf. SURVEY.md §2c curation family).
+    eliminated in round 10). Extends the reference's corpus-hygiene
+    surface (no equivalent op exists there; cf. SURVEY.md §2c
+    curation family).
+
+    Round-13 worst-query profile (gen_sf10, warm, min-of-3): the
+    subtree attribution was ev-distinct 2.2 s, n_total branch 1.5 s,
+    bare train explode 1.6 s — but hits (explode + eval join + agg)
+    was 8.0 s of the 9-10 s total. The wall was the eval BROADCAST:
+    5.6M distinct eval shingles (the synthetic's doc_id%4 eval split
+    scales WITH the corpus) collected, built into a string-keyed hash
+    relation and probed 18.7M times. Distributing the build
+    (shuffle_hash, eval side builds per-task) measured 10.30 ->
+    7.58 s full-query and aligns the plan with the round-11 rule:
+    never hash-build a corpus-scaling side on one node. On a real
+    deployment where the eval benchmark is genuinely bounded (MBs),
+    a broadcast — or Spark's runtime bloom filter, measured 5.19 s
+    here with `runtime.bloomFilter.creationSideThreshold` raised to
+    cover the eval side (77% of train shingle rows miss and would be
+    pruned pre-shuffle) — is the better physical choice; both are
+    session-config levers, not plan rewrites, so the shipped plan
+    keeps the scale-safe default. (Rejected by measurement, round 13:
+    a single-pass left-join form computing n_hit+n_total in one
+    groupBy — it drags all 18.7M train rows through BOTH the join
+    shuffle and the aggregate, 13.9 s; and pre-hashing shingles to
+    64-bit longs — xxhash64 is not oracle-portable and md5_long60's
+    per-shingle cost ate the probe savings.)
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
@@ -193,9 +214,14 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = toks.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
         "doc_id", F.size(shingle_arr()).cast("long").alias("n_total")
     )
+    # shuffle_hash with EV as the build side (right): each task hash-
+    # builds only its shard of the eval set instead of the driver
+    # building (and every probe thread sharing) one 5.6M-entry string
+    # hash relation — the measured 100x wall (see docstring). SMJ on
+    # sh is the spill-safe fallback if the hint can't be honored.
     hits = (
         sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-        .join(F.broadcast(ev), "sh")
+        .join(ev.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )

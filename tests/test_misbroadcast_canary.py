@@ -80,8 +80,10 @@ REDUCED_OK = {
     "text_tfidf": "token-type vocabulary (Heaps-law sublinear)",
     "lm_quality_score": "LM vocabulary fold (Heaps-law)",
     "lm_bigram_score": "bigram LM fold (Heaps-law)",
-    # documented corpus-index / benchmark-side cases
-    "decontaminate": "eval-split distinct shingles — MBs at 100 TB by design",
+    # documented corpus-index / benchmark-side cases (decontaminate
+    # retired in round 13: the eval-shingle broadcast was the measured
+    # 100x wall — 5.6M strings, corpus-scaling in this synthetic — and
+    # is now a per-task shuffle_hash build; no broadcast remains)
     "dedup_against_corpus": "stored band index; docstring names the pre-bucketed scale path",
     "dedup_segments": "df-capped segment posting lists",
     # per-user aggregates — flips to shuffle as estimates grow; the

@@ -174,32 +174,39 @@ def test_minhash_verified_never_broadcasts_tokens(spark):
 
 
 def test_decontaminate_never_broadcasts_the_training_side(spark):
-    """Round-11 misbroadcast-audit lock (the audit's second catch): the
-    n_total join-back must never broadcast — Catalyst was broadcasting
-    the n_tot branch, one skinny row per TRAINING doc, a corpus-linear
-    build that dies on a driver at scale (a 75%-pass modulo filter is
-    not selective in scale terms). The fix hints shuffle_hash with the
-    bounded HITS side (contaminated docs only) as build
-    (curation_queries.py); the spill-safe fallback is SMJ on doc_id,
-    so that shape is tolerated. The eval-shingle broadcast (BHJ on
-    ``sh``, distinct-aggregated, MBs at 100 TB) is the query's one
-    DELIBERATE broadcast and is allowed — this lock checks the join
-    KEYS, not mere node presence."""
+    """Round-11 misbroadcast-audit lock (the audit's second catch),
+    tightened in round 13: the n_total join-back must never broadcast
+    — Catalyst was broadcasting the n_tot branch, one skinny row per
+    TRAINING doc, a corpus-linear build that dies on a driver at scale
+    (a 75%-pass modulo filter is not selective in scale terms). The
+    fix hints shuffle_hash with the bounded HITS side (contaminated
+    docs only) as build (curation_queries.py); the spill-safe fallback
+    is SMJ on doc_id, so that shape is tolerated. Round 13 removed the
+    query's one remaining broadcast too — the eval-shingle hash
+    relation was itself corpus-scaling in this synthetic (5.6M strings
+    at the 100x tier, the measured query wall) and now shuffle_hash-
+    builds per task — so the lock is total: NO BroadcastHashJoin
+    anywhere in the plan."""
     plan = _executed_plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" not in plan, plan
     doc_joins = [
         l for l in plan.splitlines()
         if "Join" in l and "doc_id" in l and "Join doc_id" not in l
     ]
     assert doc_joins, plan  # the join-back must exist at all
-    assert not any("BroadcastHashJoin" in l for l in doc_joins), doc_joins
     shj = [l for l in doc_joins if "ShuffledHashJoin" in l]
     smj = [l for l in doc_joins if "SortMergeJoin" in l]
     assert shj or smj, doc_joins
     # hits is the LEFT input of the join-back — BuildLeft = bounded side
     assert all("BuildLeft" in l for l in shj), shj
-    # the deliberate eval broadcast must join on the shingle, never doc_id
-    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
-    assert all("sh#" in l for l in bhj), bhj
+    # the eval join: shuffle_hash (or SMJ fallback) on the shingle key,
+    # eval distinct set as the build (right) side
+    sh_joins = [
+        l for l in plan.splitlines()
+        if ("ShuffledHashJoin" in l or "SortMergeJoin" in l) and "sh#" in l
+    ]
+    assert sh_joins, plan
+    assert all("BuildRight" in l for l in sh_joins if "ShuffledHashJoin" in l), sh_joins
 
 
 def test_q16_has_no_pair_distinct_exchange(spark):
