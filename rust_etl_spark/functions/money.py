@@ -1,0 +1,63 @@
+"""Exact scaled-integer money expressions, shared across plan modules.
+
+``round(sum(double), 2)`` is NOT engine-portable: Spark and DuckDB may
+reduce the same multiset of doubles in different orders, and when the
+accumulated low bits differ the final cent-round can land on opposite
+sides of a half-cent boundary. This hash-failed twice at the 10x tier
+in round 6 (q9: half-cent sum boundary; q15: ulp-tied max winners) and
+CLAUDE.md's policy is to migrate the whole class, done proactively in
+round 13 for every graded MONEY aggregate (continuous non-money
+metrics — events.value, cosine scores — are deliberately NOT
+quantized; redefining them to a cent grid would be a semantics fork,
+and they use ``round_half_up`` on already-deterministic inputs
+instead).
+
+The pattern (abc_analysis/q9/q15 heritage): prices quantize to integer
+cents and rates to integer percents — one IEEE multiply + one
+half-up round per ROW on bit-identical parquet inputs, deterministic
+on both engines — then every aggregate is exact BIGINT arithmetic, and
+the output reconstitutes dollars with one IEEE division plus
+``round_half_up`` (pure IEEE ops) on the same BIGINT. Every float step
+is bit-identical by construction; no reduction order can matter.
+
+The same expression TEXT runs on both engines (Spark via ``F.expr``,
+DuckDB verbatim). Top-k orderings must sort on the scaled BIGINT, not
+the reconstituted double, so LIMIT membership can never straddle a
+rounding boundary.
+
+Int64 headroom: the widest scale used is 10^6 (sum_charge: cents x
+discount-pct x tax-pct); per-group sums reach ~1.7e18 of int64's
+9.2e18 at the gen_sf10 evidence tier. Beyond ~sf50 the posture is
+DECIMAL(38) accumulators — not needed at any graded or evidence tier,
+and the driver harness requires BIGINT-castable outputs anyway.
+"""
+
+from __future__ import annotations
+
+
+def cents_sql(col: str) -> str:
+    """Integer cents of a dollar-valued double column (engine-portable)."""
+    return f"CAST(round({col} * 100, 0) AS BIGINT)"
+
+
+def pct_sql(col: str) -> str:
+    """Integer percent of a rate-valued double column (0.05 -> 5)."""
+    return f"CAST(round({col} * 100, 0) AS BIGINT)"
+
+
+#: lineitem building blocks
+CENTS = cents_sql("l_extendedprice")
+QTY_INT = "CAST(l_quantity AS BIGINT)"  # fixture quantities are whole numbers
+DPCT = pct_sql("l_discount")
+TPCT = pct_sql("l_tax")
+
+#: revenue, scale 10^-4 dollars: cents x (100 - discount-pct)
+REV_SCALED = f"{CENTS} * (100 - {DPCT})"
+#: discount revenue (Q6 shape), scale 10^-4 dollars: cents x discount-pct
+DISC_REV_SCALED = f"{CENTS} * {DPCT}"
+#: charge, scale 10^-6 dollars: cents x (100 - dpct) x (100 + tpct)
+CHARGE_SCALED = f"{REV_SCALED} * (100 + {TPCT})"
+
+#: orders / customer money columns
+O_TOTALPRICE_CENTS = cents_sql("o_totalprice")
+C_ACCTBAL_CENTS = cents_sql("c_acctbal")

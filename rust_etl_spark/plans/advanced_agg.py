@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rust_etl_spark.functions.money import O_TOTALPRICE_CENTS as _O_CENTS
+from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
 
@@ -20,17 +22,23 @@ from rust_etl_spark.sources import load_table
 #: distributed re-plan below (frame spans at most 2 adjacent buckets).
 RANGE_FRAME_W = 1000.0
 
+#: oracle fragment: integer-cents RANGE-frame sum (see the money note
+#: in window_range_frame's docstring)
+_CENTS_RANGE_SUM = (
+    f"sum({_O_CENTS}) OVER (ORDER BY o_totalprice "
+    "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) / 100.0"
+)
+
 
 @register(
     "window_range_frame",
-    oracle="""
+    oracle=f"""
         SELECT o_orderkey, o_totalprice,
                CAST(count(*) OVER (
                     ORDER BY o_totalprice
                     RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
-               round(sum(o_totalprice) OVER (
-                    ORDER BY o_totalprice
-                    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS sum_near
+               {round_half_up_sql(_CENTS_RANGE_SUM, 2)}
+               AS sum_near
         FROM orders
     """,
     doc="Value-based RANGE frame: per order, count/sum of orders within 1000 below its price "
@@ -83,9 +91,13 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = lambda v: F.floor(v / w).cast("long")  # noqa: E731
 
     # 1. distinct values with in-bucket prefix count/sum.
+    # the summed metric is exact integer cents (functions/money.py,
+    # round-13 class migration): the decomposed prefix sums reassociate
+    # the reduction vs the oracle's sequential window accumulation,
+    # which is exactly where a double sum's low bits diverge
     g = (
         o.groupBy(bkt(F.col("o_totalprice")).alias("b"), F.col("o_totalprice").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.expr(_O_CENTS)).alias("s"))
     )
     wc = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     idx = g.select(
@@ -104,7 +116,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.b").alias("b"))
         .agg(
             F.coalesce(F.sum("t.tn"), F.lit(0)).alias("off_n"),
-            F.coalesce(F.sum("t.ts"), F.lit(0.0)).alias("off_s"),
+            F.coalesce(F.sum("t.ts"), F.lit(0)).alias("off_s"),
         )
     )
 
@@ -154,10 +166,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resolved = looked.join(F.broadcast(boff), "b", "left")
     part_n = F.col("sign") * (F.coalesce("lcn", F.lit(0)) + F.coalesce("off_n", F.lit(0)))
-    part_s = F.col("sign") * (F.coalesce("lcs", F.lit(0.0)) + F.coalesce("off_s", F.lit(0.0)))
+    part_s = F.col("sign") * (F.coalesce("lcs", F.lit(0)) + F.coalesce("off_s", F.lit(0)))
     per_price = resolved.groupBy("av").agg(
         F.sum(part_n).cast("bigint").alias("n_near"),
-        F.round(F.sum(part_s), 2).alias("sum_near"),
+        round_half_up(F.sum(part_s).cast("bigint") / F.lit(100.0), 2).alias("sum_near"),
     )
     # Join-back: shuffle_hash hinted with PER_PRICE (domain-bounded,
     # 1% of rows) as the build side. Unhinted, the gate's misbroadcast

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_etl_spark.functions.money import O_TOTALPRICE_CENTS as _O_CENTS
+from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
 
@@ -78,12 +80,12 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "date_trunc_rollup",
-    oracle="""
+    oracle=f"""
         SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
                CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
                CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               {round_half_up_sql(f"CAST(sum({_O_CENTS}) AS BIGINT) / 100.0", 2)} AS total
         FROM orders
         GROUP BY 1, 2, 3
     """,
@@ -99,7 +101,14 @@ def date_trunc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", d).cast("date").alias("mo"),
             F.date_trunc("quarter", d).cast("date").alias("qtr"),
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(_O_CENTS)).cast("long").alias("cents"),
+        )
+        .select(
+            "wk", "mo", "qtr", "n",
+            round_half_up(F.col("cents") / F.lit(100.0), 2).alias("total"),
+        )
     )
 
 

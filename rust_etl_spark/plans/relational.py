@@ -23,6 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rust_etl_spark.functions.money import (
+    CENTS as _CENTS,
+    CHARGE_SCALED as _CHARGE_SCALED,
+    DISC_REV_SCALED as _DISC_REV_SCALED,
+    DPCT as _DPCT,
+    O_TOTALPRICE_CENTS as _O_CENTS,
+    QTY_INT as _QTY_INT,
+    REV_SCALED as _REV_SCALED,
+)
+from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
 
@@ -66,50 +76,73 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_agg",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                        AS sum_qty,
-               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-               round(avg(l_quantity), 4)                                        AS avg_qty,
-               round(avg(l_extendedprice), 4)                                   AS avg_price,
-               round(avg(l_discount), 4)                                        AS avg_disc,
-               count(*)                                                         AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
-        GROUP BY l_returnflag, l_linestatus
+               CAST(qty AS DOUBLE) AS sum_qty,
+               {round_half_up_sql("cents / 100.0", 2)} AS sum_base_price,
+               {round_half_up_sql("rev / 10000.0", 2)} AS sum_disc_price,
+               {round_half_up_sql("charge / 1000000.0", 2)} AS sum_charge,
+               {round_half_up_sql("qty / (cnt * 1.0)", 4)} AS avg_qty,
+               {round_half_up_sql("cents / (cnt * 100.0)", 4)} AS avg_price,
+               {round_half_up_sql("dpct / (cnt * 100.0)", 4)} AS avg_disc,
+               cnt AS count_order
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum({_QTY_INT}) AS BIGINT) AS qty,
+                   CAST(sum({_CENTS}) AS BIGINT) AS cents,
+                   CAST(sum({_REV_SCALED}) AS BIGINT) AS rev,
+                   CAST(sum({_CHARGE_SCALED}) AS BIGINT) AS charge,
+                   CAST(sum({_DPCT}) AS BIGINT) AS dpct,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+            GROUP BY l_returnflag, l_linestatus
+        ) t
     """,
-    doc="TPC-H-Q1-shaped flagship: filter + 2-key groupBy + 8 aggregates (map-side partial agg).",
+    doc="TPC-H-Q1-shaped flagship: filter + 2-key groupBy + 8 aggregates (map-side "
+    "partial agg). Money/rate aggregates are exact scaled BIGINTs (functions/"
+    "money.py); dollars reconstitute via identical IEEE steps on both engines.",
 )
 def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.col("cnt")
     return (
         li.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.expr(_QTY_INT)).cast("long").alias("qty"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("cents"),
+            F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev"),
+            F.sum(F.expr(_CHARGE_SCALED)).cast("long").alias("charge"),
+            F.sum(F.expr(_DPCT)).cast("long").alias("dpct"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty").cast("double").alias("sum_qty"),
+            round_half_up(F.col("cents") / F.lit(100.0), 2).alias("sum_base_price"),
+            round_half_up(F.col("rev") / F.lit(10000.0), 2).alias("sum_disc_price"),
+            round_half_up(F.col("charge") / F.lit(1000000.0), 2).alias("sum_charge"),
+            round_half_up(F.col("qty") / (cnt * F.lit(1.0)), 4).alias("avg_qty"),
+            round_half_up(F.col("cents") / (cnt * F.lit(100.0)), 4).alias("avg_price"),
+            round_half_up(F.col("dpct") / (cnt * F.lit(100.0)), 4).alias("avg_disc"),
+            F.col("cnt").alias("count_order"),
         )
     )
 
 
 @register(
     "agg_filter_sum",
-    oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+        SELECT {round_half_up_sql(f"CAST(sum({_DISC_REV_SCALED}) AS BIGINT) / 10000.0", 2)}
+               AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """,
-    doc="TPC-H-Q6-shaped single-row global aggregate; fully pushed-down scan feeding one partial+final agg.",
+    doc="TPC-H-Q6-shaped single-row global aggregate; fully pushed-down scan feeding "
+    "one partial+final agg. Exact scaled-integer discount revenue.",
 )
 def agg_filter_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -120,23 +153,30 @@ def agg_filter_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.sum(F.expr(_DISC_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .select(
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue")
+        )
     )
 
 
 @register(
     "join_star",
-    oracle="""
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey  = o_orderkey
-        JOIN customer ON o_custkey   = c_custkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-        GROUP BY n_name
+    oracle=f"""
+        SELECT n_name, {round_half_up_sql("rev_scaled / 10000.0", 2)} AS revenue
+        FROM (
+            SELECT n_name, CAST(sum({_REV_SCALED}) AS BIGINT) AS rev_scaled
+            FROM lineitem
+            JOIN orders   ON l_orderkey  = o_orderkey
+            JOIN customer ON o_custkey   = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        ) t
     """,
-    doc="TPC-H-Q5-shaped star join: nation/region broadcast explicitly; orders/customer left to AQE.",
+    doc="TPC-H-Q5-shaped star join: nation/region broadcast explicitly; "
+    "orders/customer left to AQE. Exact scaled-integer revenue.",
 )
 def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -151,7 +191,11 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .select(
+            "n_name",
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue"),
+        )
     )
 
 
@@ -199,15 +243,18 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_running",
-    oracle="""
+    oracle=f"""
         SELECT o_custkey, o_orderkey, o_totalprice,
-               round(sum(o_totalprice) OVER (
+               {round_half_up_sql(f'''sum({_O_CENTS}) OVER (
                      PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0''', 2)}
+               AS running_spend
         FROM orders
     """,
-    doc="Running per-customer spend: frame-bounded window aggregate (ROWS UNBOUNDED PRECEDING..CURRENT).",
+    doc="Running per-customer spend: frame-bounded window aggregate (ROWS UNBOUNDED "
+    "PRECEDING..CURRENT). The prefix sum accumulates exact integer cents — a "
+    "double prefix sum is order-dependent in its low bits, the round-6 class.",
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
@@ -218,7 +265,10 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
-        .withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 2))
+        .withColumn(
+            "running_spend",
+            round_half_up(F.sum(F.expr(_O_CENTS)).over(w) / F.lit(100.0), 2),
+        )
         .drop("o_orderdate")
     )
 
@@ -341,14 +391,15 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_distinct",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
                count(DISTINCT o_custkey) AS n_customers,
-               round(sum(o_totalprice), 2) AS total
+               {round_half_up_sql(f"CAST(sum({_O_CENTS}) AS BIGINT) / 100.0", 2)} AS total
         FROM orders
         GROUP BY o_orderpriority
     """,
-    doc="Distinct aggregate alongside a plain aggregate (expand + two-phase agg).",
+    doc="Distinct aggregate alongside a plain aggregate (expand + two-phase agg). "
+    "Exact integer-cents total.",
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -356,51 +407,68 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum(F.expr(_O_CENTS)).cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_customers",
+            round_half_up(F.col("cents") / F.lit(100.0), 2).alias("total"),
         )
     )
 
 
 @register(
     "pivot_agg",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
-               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+               {round_half_up_sql(f"CAST(sum(CASE WHEN o_orderstatus = 'F' THEN {_O_CENTS} END) AS BIGINT) / 100.0", 2)} AS F,
+               {round_half_up_sql(f"CAST(sum(CASE WHEN o_orderstatus = 'O' THEN {_O_CENTS} END) AS BIGINT) / 100.0", 2)} AS O,
+               {round_half_up_sql(f"CAST(sum(CASE WHEN o_orderstatus = 'P' THEN {_O_CENTS} END) AS BIGINT) / 100.0", 2)} AS P
         FROM orders GROUP BY o_orderpriority
     """,
-    doc="Pivot on order status (explicit value list keeps the plan one pass, no distinct-scan).",
+    doc="Pivot on order status (explicit value list keeps the plan one pass, no "
+    "distinct-scan). Exact integer-cents sums per pivot cell.",
 )
 def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    piv = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(F.sum(F.expr(_O_CENTS)).cast("long"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            round_half_up(F.col(s) / F.lit(100.0), 2).alias(s)
+            for s in ("F", "O", "P")
+        ],
     )
 
 
 @register(
     "rollup_agg",
-    oracle="""
+    oracle=f"""
         SELECT coalesce(o_orderstatus, '(all)') AS status,
                coalesce(o_orderpriority, '(all)') AS priority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               {round_half_up_sql(f"CAST(sum({_O_CENTS}) AS BIGINT) / 100.0", 2)} AS total
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
-    doc="Hierarchical subtotal rollup over (status, priority).",
+    doc="Hierarchical subtotal rollup over (status, priority). Exact integer-cents total.",
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(_O_CENTS)).cast("long").alias("cents"),
+        )
         .select(
             F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
             "n",
-            "total",
+            round_half_up(F.col("cents") / F.lit(100.0), 2).alias("total"),
         )
     )
 
@@ -480,19 +548,24 @@ def sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "groupby_having",
-    oracle="""
-        SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty
+    oracle=f"""
+        SELECT l_partkey, count(*) AS n_items,
+               CAST(CAST(sum({_QTY_INT}) AS BIGINT) AS DOUBLE) AS qty
         FROM lineitem
         GROUP BY l_partkey
         HAVING count(*) > 35
     """,
-    doc="Aggregate + post-aggregation HAVING filter (threshold sits inside the per-part count distribution).",
+    doc="Aggregate + post-aggregation HAVING filter (threshold sits inside the "
+    "per-part count distribution). Whole-number quantities sum as exact BIGINTs.",
 )
 def groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.expr(_QTY_INT)).cast("long").cast("double").alias("qty"),
+        )
         .filter(F.col("n_items") > 35)
     )
 
@@ -572,12 +645,12 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_rfm",
-    oracle="""
+    oracle=f"""
         WITH base AS (
             SELECT c_custkey, c_nationkey,
                    max(epoch_us(o_orderdate)) AS last_us,
                    count(*) AS freq,
-                   round(sum(o_totalprice), 2) AS monetary
+                   CAST(sum({_O_CENTS}) AS BIGINT) AS monetary_cents
             FROM customer JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey, c_nationkey
         )
@@ -587,12 +660,14 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ntile(5) OVER (PARTITION BY c_nationkey
                                    ORDER BY freq, c_custkey) AS BIGINT) AS f_score,
                CAST(ntile(5) OVER (PARTITION BY c_nationkey
-                                   ORDER BY monetary, c_custkey) AS BIGINT) AS m_score
+                                   ORDER BY monetary_cents, c_custkey) AS BIGINT) AS m_score
         FROM base
     """,
     doc="RFM (recency/frequency/monetary) quintile segmentation per "
     "customer, scored within nation — ntile(5) windows with c_custkey "
-    "tie-breaks so bucket assignment is deterministic on both engines.",
+    "tie-breaks so bucket assignment is deterministic on both engines. "
+    "Monetary ranks on exact integer cents: a double sum's ulp wobble "
+    "could reorder ADJACENT non-tied customers, which no tie-break fixes.",
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer quintile scoring (marketing-analytics shape).
@@ -617,7 +692,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("t_us").alias("last_us"),
             F.count(F.lit(1)).alias("freq"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            F.sum(F.expr(_O_CENTS)).cast("long").alias("monetary_cents"),
         )
     )
     w = Window.partitionBy("c_nationkey")
@@ -625,7 +700,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(5).over(w.orderBy("last_us", "c_custkey")).cast("long").alias("r_score"),
         F.ntile(5).over(w.orderBy("freq", "c_custkey")).cast("long").alias("f_score"),
-        F.ntile(5).over(w.orderBy("monetary", "c_custkey")).cast("long").alias("m_score"),
+        F.ntile(5).over(w.orderBy("monetary_cents", "c_custkey")).cast("long").alias("m_score"),
     )
 
 

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rust_etl_spark.functions.rounding import round_half_up
+from rust_etl_spark.functions.money import (
+    C_ACCTBAL_CENTS as _C_CENTS,
+    REV_SCALED as _REV_SCALED,
+)
+from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
 
@@ -177,10 +181,13 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
+        SELECT supp_region, cust_region, l_year,
+               {round_half_up_sql("rev_scaled / 10000.0", 2)} AS revenue
+        FROM (
         SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
                CAST(year(l_shipdate) AS BIGINT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(sum({_REV_SCALED}) AS BIGINT) AS rev_scaled
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -194,6 +201,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND ((rs.r_name = 'EUROPE' AND rc.r_name = 'ASIA')
             OR (rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE'))
         GROUP BY supp_region, cust_region, l_year
+        ) t
         ORDER BY supp_region, cust_region, l_year
     """,
     doc="TPC-H-Q7-shaped volume shipping between two trade partners "
@@ -246,10 +254,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_region",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .select(
+            "supp_region",
+            "cust_region",
+            "l_year",
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue"),
         )
         .orderBy("supp_region", "cust_region", "l_year")
     )
@@ -259,10 +269,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
         WITH all_sales AS (
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   l_extendedprice * (1 - l_discount) AS volume,
+                   {_REV_SCALED} AS volume,
                    ns.n_name AS supp_nation
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -275,8 +285,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
         )
         SELECT o_year,
-               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                     / sum(volume), 4) AS mkt_share
+               {round_half_up_sql("(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT) * 1.0) / CAST(sum(volume) AS BIGINT)", 4)}
+               AS mkt_share
         FROM all_sales GROUP BY o_year ORDER BY o_year
     """,
     doc="TPC-H-Q8-shaped national market share: NATION_3's share of ECONOMY-"
@@ -323,18 +333,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.expr(_REV_SCALED).alias("volume"),
             "supp_nation",
         )
     )
     return (
         sales.groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                4,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("num"),
+            F.sum("volume").cast("long").alias("den"),
+        )
+        .select(
+            "o_year",
+            round_half_up((F.col("num") * F.lit(1.0)) / F.col("den"), 4).alias(
+                "mkt_share"
+            ),
         )
         .orderBy("o_year")
     )
@@ -779,8 +798,9 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_revenue",
-    oracle="""
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+        SELECT {round_half_up_sql(f"CAST(sum({_REV_SCALED}) AS BIGINT) / 10000.0", 2)}
+               AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
                AND l_quantity >= 1 AND l_quantity <= 11)
@@ -822,10 +842,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(branch)
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .select(
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue")
         )
     )
 
@@ -910,38 +929,52 @@ Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
             WHERE c_nationkey IN {Q22_NATIONS}
         ),
         threshold AS (
-            SELECT avg(c_acctbal) AS avg_bal FROM pool WHERE c_acctbal > 0.0
+            SELECT CAST(sum({_C_CENTS}) AS BIGINT) AS s_cents,
+                   CAST(count(*) AS BIGINT) AS n_pos
+            FROM pool WHERE c_acctbal > 0.0
         )
-        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
-               CAST(count(*) AS BIGINT) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
-        FROM pool, threshold
-        WHERE c_acctbal > avg_bal
-          AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey
-                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-        GROUP BY c_nationkey
+        SELECT cntrycode, numcust,
+               {round_half_up_sql("cents / 100.0", 2)} AS totacctbal
+        FROM (
+            SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum({_C_CENTS}) AS BIGINT) AS cents
+            FROM pool, threshold
+            WHERE {_C_CENTS} * n_pos > s_cents
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY c_nationkey
+        ) t
         ORDER BY cntrycode
     """,
     doc="TPC-H-Q22-shaped global sales opportunity: customers in seven "
     "nations (c_phone country codes are absent; c_nationkey is the "
     "country proxy) with above-average positive balance and no RECENT "
     "orders (every fixture customer has some order, so 'inactive since "
-    "2000' keeps the anti-join non-vacuous) — scalar AVG broadcast + "
-    "anti-join on date-pruned orders.",
+    "2000' keeps the anti-join non-vacuous) — broadcast integer-cents "
+    "threshold + anti-join on date-pruned orders.",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sales opportunity (TPC-H Q22 topology).
 
-    Both subqueries decorrelate: the scalar AVG is a broadcast single
-    row, NOT EXISTS is a LEFT ANTI join against the projected orders
-    keys. The customer pool is nation-pruned at the scan.
+    Both subqueries decorrelate: the average-balance threshold is a
+    broadcast single row (exact integer cents + positive-count, so the
+    'above average' compare is the cross-multiplication cents * n_pos
+    > s_cents — no reduction-order-dependent double average), NOT
+    EXISTS is a LEFT ANTI join against the projected orders keys. The
+    customer pool is nation-pruned at the scan.
     """
     pool = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(*Q22_NATIONS)
     ).select("c_custkey", "c_nationkey", "c_acctbal")
-    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    # exact integer threshold: cents * n_pos > s_cents avoids comparing
+    # against a double average whose low bits are reduction-order-
+    # dependent (a boundary customer flip changes numcust, not just a
+    # rounded output)
+    thresh = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.expr(_C_CENTS)).cast("long").alias("s_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
     )
     ord_keys = (
         load_table(spark, sf_dir, "orders")
@@ -949,13 +982,18 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return (
-        pool.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        pool.join(F.broadcast(thresh))
+        .filter(F.expr(_C_CENTS) * F.col("n_pos") > F.col("s_cents"))
         .join(ord_keys, pool.c_custkey == ord_keys.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(F.expr(_C_CENTS)).cast("long").alias("cents"),
+        )
+        .select(
+            "cntrycode",
+            "numcust",
+            round_half_up(F.col("cents") / F.lit(100.0), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

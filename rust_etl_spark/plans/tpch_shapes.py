@@ -12,24 +12,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
+
+# Exact scaled-integer money (the abc_analysis / q9 / q15 pattern,
+# migrated here proactively in round 13 — `round(sum(double))` hash-
+# failed twice at the 10x tier in round 6 and CLAUDE.md's policy is to
+# migrate the class, not wait for the third hit). See functions/money.py.
+from rust_etl_spark.functions.money import (  # noqa: E402
+    CHARGE_SCALED as _CHARGE_SCALED,
+    CENTS as _CENTS,
+    DISC_REV_SCALED as _DISC_REV_SCALED,
+    DPCT as _DPCT,
+    QTY_INT as _QTY_INT,
+    REV_SCALED as _REV_SCALED,
+)
 
 
 @register(
     "q17_small_quantity",
-    oracle="""
+    oracle=f"""
         WITH pavg AS (
             SELECT l_partkey, avg(l_quantity) AS avg_qty
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT {round_half_up_sql(f"CAST(sum({_CENTS}) AS BIGINT) / 700.0", 2)}
+               AS avg_yearly
         FROM lineitem l JOIN pavg ON l.l_partkey = pavg.l_partkey
         WHERE l.l_quantity < 0.5 * pavg.avg_qty
     """,
     doc="TPC-H-Q17-shaped correlated aggregate: rows compared against their own "
     "group's average via a derived-aggregate join (the decorrelated form Catalyst "
-    "produces for the scalar subquery; one shuffle keyed l_partkey on each side).",
+    "produces for the scalar subquery; one shuffle keyed l_partkey on each side). "
+    "Money is exact integer cents; /7.0 and the cent-round are the only float "
+    "steps, identical IEEE ops on the same BIGINT in both engines.",
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -39,28 +56,37 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(pavg, "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.sum(F.expr(_CENTS)).cast("long").alias("cents"))
+        .select(round_half_up(F.col("cents") / F.lit(700.0), 2).alias("avg_yearly"))
     )
 
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               CAST(year(o_orderdate) AS INT) AS o_year,
-               o_orderpriority
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
-        GROUP BY l_orderkey, year(o_orderdate), o_orderpriority
-        ORDER BY revenue DESC, l_orderkey
-        LIMIT 10
+               {round_half_up_sql("rev_scaled / 10000.0", 2)} AS revenue,
+               o_year, o_orderpriority
+        FROM (
+            SELECT l_orderkey,
+                   CAST(sum({_REV_SCALED}) AS BIGINT) AS rev_scaled,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   o_orderpriority
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l_orderkey, year(o_orderdate), o_orderpriority
+            ORDER BY rev_scaled DESC, l_orderkey
+            LIMIT 10
+        ) t
     """,
-    doc="TPC-H-Q3-shaped shipping priority: segment+date filters pushed, 3-table join, top-10 revenue.",
+    doc="TPC-H-Q3-shaped shipping priority: segment+date filters pushed, 3-table "
+    "join, top-10 revenue. Money is exact scaled-integer (cents x discount-pct); "
+    "the top-10 sorts on the exact BIGINT so LIMIT membership can never straddle "
+    "a float rounding boundary.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -78,28 +104,38 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.year("o_orderdate").alias("o_year"), "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_year", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .orderBy(F.col("rev_scaled").desc(), F.col("l_orderkey"))
         .limit(10)
+        .select(
+            "l_orderkey",
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue"),
+            "o_year",
+            "o_orderpriority",
+        )
     )
 
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
         SELECT c_custkey, c_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-        GROUP BY c_custkey, c_name, n_name
-        ORDER BY revenue DESC, c_custkey
-        LIMIT 20
+               {round_half_up_sql("rev_scaled / 10000.0", 2)} AS revenue
+        FROM (
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum({_REV_SCALED}) AS BIGINT) AS rev_scaled
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY rev_scaled DESC, c_custkey
+            LIMIT 20
+        ) t
     """,
-    doc="TPC-H-Q10-shaped returned-item revenue per customer, top 20.",
+    doc="TPC-H-Q10-shaped returned-item revenue per customer, top 20. Money is "
+    "exact scaled-integer; the top-20 sorts on the exact BIGINT.",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
@@ -115,9 +151,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .orderBy(F.col("rev_scaled").desc(), F.col("c_custkey"))
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue"),
+        )
     )
 
 
@@ -186,48 +228,71 @@ def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
-               CAST(count(*) AS BIGINT) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+               CAST(qty AS DOUBLE) AS sum_qty,
+               {round_half_up_sql("cents / 100.0", 2)} AS sum_base_price,
+               {round_half_up_sql("rev / 10000.0", 2)} AS sum_disc_price,
+               {round_half_up_sql("charge / 1000000.0", 2)} AS sum_charge,
+               {round_half_up_sql("qty / (cnt * 1.0)", 4)} AS avg_qty,
+               {round_half_up_sql("cents / (cnt * 100.0)", 4)} AS avg_price,
+               {round_half_up_sql("dpct / (cnt * 100.0)", 4)} AS avg_disc,
+               cnt AS count_order
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum({_QTY_INT}) AS BIGINT) AS qty,
+                   CAST(sum({_CENTS}) AS BIGINT) AS cents,
+                   CAST(sum({_REV_SCALED}) AS BIGINT) AS rev,
+                   CAST(sum({_CHARGE_SCALED}) AS BIGINT) AS charge,
+                   CAST(sum({_DPCT}) AS BIGINT) AS dpct,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        ) t
     """,
     doc="TPC-H-Q1-shaped pricing summary: the canonical wide-aggregate scan — one "
     "pass, partial (map-side) aggregation into 4 groups, derived sums/avgs all in "
-    "whole-stage codegen; the shuffle moves only 4 groups x 8 partials.",
+    "whole-stage codegen; the shuffle moves only 4 groups x 8 partials. All money "
+    "and rate aggregates are exact scaled BIGINTs (cents / discount-pct / tax-pct; "
+    "quantities are whole numbers); sums and averages are derived from them with "
+    "identical IEEE division + half-up-round steps on both engines.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.col("cnt")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.expr(_QTY_INT)).cast("long").alias("qty"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("cents"),
+            F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev"),
+            F.sum(F.expr(_CHARGE_SCALED)).cast("long").alias("charge"),
+            F.sum(F.expr(_DPCT)).cast("long").alias("dpct"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty").cast("double").alias("sum_qty"),
+            round_half_up(F.col("cents") / F.lit(100.0), 2).alias("sum_base_price"),
+            round_half_up(F.col("rev") / F.lit(10000.0), 2).alias("sum_disc_price"),
+            round_half_up(F.col("charge") / F.lit(1000000.0), 2).alias("sum_charge"),
+            round_half_up(F.col("qty") / (cnt * F.lit(1.0)), 4).alias("avg_qty"),
+            round_half_up(F.col("cents") / (cnt * F.lit(100.0)), 4).alias("avg_price"),
+            round_half_up(F.col("dpct") / (cnt * F.lit(100.0)), 4).alias("avg_disc"),
+            F.col("cnt").alias("count_order"),
         )
     )
 
 
 @register(
     "q6_forecast_revenue",
-    oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+        SELECT {round_half_up_sql(f"CAST(sum({_DISC_REV_SCALED}) AS BIGINT) / 10000.0", 2)}
+               AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -238,7 +303,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "predicate pushes to the parquet scan (date range prunes row groups via "
     "min/max stats), zero joins, one shuffle of a single partial. Discount bounds "
     "sit at 0.005-step midpoints so double-literal boundary equality can never "
-    "differ between engines.",
+    "differ between engines; the discount-revenue sum is exact scaled-integer "
+    "(cents x discount-pct).",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -250,7 +316,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.075)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.sum(F.expr(_DISC_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .select(
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue")
+        )
     )
 
 
@@ -322,21 +391,23 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier",
-    oracle="""
+    oracle=f"""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-        WHERE c_nationkey = s_nationkey
-          AND r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-        GROUP BY n_name
-        ORDER BY revenue DESC, n_name
+               {round_half_up_sql("rev_scaled / 10000.0", 2)} AS revenue
+        FROM (
+            SELECT n_name, CAST(sum({_REV_SCALED}) AS BIGINT) AS rev_scaled
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name
+        ) t
     """,
     doc="TPC-H-Q5-shaped local-supplier revenue: 6-table star join where the "
     "customer and supplier must share a nation, nation restricted to one region "
@@ -400,10 +471,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .select(
+            "n_name",
+            round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
