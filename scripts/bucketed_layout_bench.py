@@ -66,7 +66,17 @@ FAMILIES = [
     {
         "family": "orderkey",
         "facts": {"orders": "o_orderkey", "lineitem": "l_orderkey"},
-        "queries": ["q3_shipping_priority", "q18_large_volume", "join_star"],
+        # q21 added round 13 (VERDICT r12 #3): its window re-plan left
+        # "the two fact-side join exchanges both forms pay" as the
+        # residual 100x wall — exactly what this layout removes (the
+        # l_orderkey window and the (orderkey, suppkey) groupBy both
+        # ride the bucket clustering through the SMJ).
+        "queries": [
+            "q3_shipping_priority",
+            "q18_large_volume",
+            "join_star",
+            "q21_sole_late_supplier",
+        ],
         # 100x: where the broadcast->SMJ crossover fully arrives (q3's
         # shuffle steps to ~600 MB as customer outgrows the threshold;
         # SCALING.md flag note) — the tier the bucketed layout exists for.

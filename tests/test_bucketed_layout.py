@@ -180,6 +180,38 @@ def test_shipped_q18_exchange_count_drops_with_layout(spark, bucketed, no_broadc
     )
 
 
+def test_shipped_q21_exchange_count_drops_with_layout(spark, bucketed, no_broadcast):
+    """q21's round-12 window re-plan removed the self-join; its docstring
+    names the residual 100x wall as 'the two fact-side join shuffles
+    both forms pay'. Those exchanges are on the bucket key: with the
+    layout repointed, the lineitem⋈orders SMJ, the (l_orderkey,
+    l_suppkey) partial aggregate, AND the l_orderkey window all ride
+    the bucket clustering (HashPartitioning(orderkey) satisfies every
+    one of those distributions), so the exchange count strictly drops
+    — identical rows either way."""
+    q = catalog.get("q21_sole_late_supplier")
+    base_df = q.fn(spark, SF)
+    base_rows = [tuple(r) for r in base_df.collect()]
+    base_plan = base_df._jdf.queryExecution().executedPlan().toString()
+
+    for tbl, tname in bucketed.items():
+        set_layout_override(SF, tbl, tname)
+    try:
+        bkt_df = q.fn(spark, SF)
+        bkt_rows = [tuple(r) for r in bkt_df.collect()]
+        bkt_plan = bkt_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        clear_layout_overrides()
+
+    assert bkt_rows == base_rows
+    assert _exchanges(bkt_plan) < _exchanges(base_plan), (
+        _exchanges(bkt_plan), _exchanges(base_plan), bkt_plan,
+    )
+    # the fact-side orderkey exchanges specifically must be gone
+    assert "hashpartitioning(l_orderkey" not in bkt_plan, bkt_plan
+    assert "hashpartitioning(o_orderkey" not in bkt_plan, bkt_plan
+
+
 # ---------------------------------------------------------------------
 # Second key family (VERDICT r9 #5): user-bucketed EVENTS. The events
 # surface shuffles user/day keys in every sessionize/asof/range query;
