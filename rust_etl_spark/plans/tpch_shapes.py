@@ -135,23 +135,50 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
     """,
     doc="TPC-H-Q10-shaped returned-item revenue per customer, top 20. Money is "
-    "exact scaled-integer; the top-20 sorts on the exact BIGINT.",
+    "exact scaled-integer; the top-20 sorts on the exact BIGINT. Aggregates "
+    "BEFORE joining (order grain, then customer grain), so the custkey "
+    "exchange moves one skinny row per customer, not every joined lineitem.",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer (TPC-H Q10 topology).
+
+    Round-13 worst-query re-plan (the last crossover-family residual
+    without one): the round-1 form joined the full R-filtered lineitem
+    through orders AND customer before its single wide groupBy — at
+    the 100x tier that shuffles ~15M joined rows on o_custkey just to
+    collapse them to 1.5M customers one exchange later. Revenue is a
+    pure sum, so aggregation commutes with both equi-joins: collapse
+    R-lineitems to ORDER grain before the orderkey join (map-side
+    partial aggregation eats the ~1.6 R-rows/order fan-in), then to
+    CUSTOMER grain before the customer join, so the custkey exchange
+    and the customer-side join probe both run at one-skinny-row-per-
+    customer scale. The n_name/c_name attach happens after both
+    aggregates (nation broadcast; customer join at customer grain —
+    Catalyst may broadcast the per-customer aggregate while its
+    estimate is small and AQE shuffles it later, the adjudicated
+    crossover family). Measured warm min-of-3 at gen_sf10: 6.63 ->
+    4.05 s (1.64x), exceptAll = 0 both directions; the remaining wall
+    is the one orderkey fact exchange — the bucketed-layout family's
+    answer (BUCKETED_BENCH.json).
+    """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .select("l_orderkey", F.expr(_REV_SCALED).alias("r"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum("r").alias("r"))
+    per_cust = (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("r").cast("long").alias("rev_scaled"))
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .select("c_custkey", "c_name", "n_name", "rev_scaled")
         .orderBy(F.col("rev_scaled").desc(), F.col("c_custkey"))
         .limit(20)
         .select(
