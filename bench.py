@@ -144,6 +144,39 @@ def _calibration() -> float:
     return round(min(runs), 3)
 
 
+def _calibrated_vs_prev(total: float, calibration: float, sf: str):
+    """(this total / this calibration) over the same ratio from the
+    highest-numbered committed BENCH_r*.json of the SAME sf — the
+    driver records those at sf0.1, so other tiers usually return
+    None. Returns {"round": N, "ratio": r} or None."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        try:
+            same_sf = float(rec.get("sf")) == float(sf)
+        except (TypeError, ValueError):
+            same_sf = str(rec.get("sf")) == str(sf)
+        if not same_sf or not rec.get("value") or not rec.get("calibration_sec"):
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, rec["value"] / rec["calibration_sec"])
+    if best is None:
+        return None
+    return {"round": best[0], "ratio": round((total / calibration) / best[1], 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -179,12 +212,20 @@ def main() -> None:
         extended, variance_ext = run_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
+    calibration = _calibration()
     record = {
         "metric": "headline_queries_total_wall_min_of_3",
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calibration_sec": _calibration(),
+        "calibration_sec": calibration,
+        # Anchor story IN the artifact (VERDICT r12 #8): raw totals move
+        # with sandbox drift (r12's +22% raw was 0.98x calibrated), so
+        # ship the calibrated ratio vs the last committed per-round
+        # record rather than leaving readers to derive it from
+        # BASELINE.md prose. <1 = faster than last round per unit of
+        # this sandbox's CPU; null when no same-SF prior record exists.
+        "calibrated_vs_prev_round": _calibrated_vs_prev(total, calibration, sf),
         "extended_total": round(sum(extended.values()), 3),
         "queries": timings,
         "variance": variance,
@@ -215,6 +256,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": record["sf"],
                 "calibration_sec": record["calibration_sec"],
+                "calibrated_vs_prev_round": record["calibrated_vs_prev_round"],
                 "extended_total": record["extended_total"],
                 "queries": timings,
                 "variance": variance,
