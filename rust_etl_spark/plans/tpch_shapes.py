@@ -490,7 +490,15 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    li_asia = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    # NO explicit broadcast on the supplier probe (ADVICE r12): the
+    # ASIA-filtered supplier projection is corpus-scaling (∝ SF, ~2
+    # ints/row — KBs at every evidence tier but ~GBs at a real 100 TB
+    # SF), and a forced broadcast of an unbounded side is the repo's
+    # own round-11 pathology. Size-based selection broadcasts it at
+    # every tested tier (plan-locked below) and flips to a shuffle
+    # join on its own once the estimate outgrows the threshold; the
+    # bounded nation/region dims stay explicitly broadcast.
+    li_asia = li.join(supp, li.l_suppkey == supp.s_suppkey)
     ord_cust = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         li_asia.join(

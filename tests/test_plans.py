@@ -248,10 +248,21 @@ def test_q5_prunes_both_fact_exchanges_and_never_broadcasts_the_order_side(spark
     ]
     assert big_join, plan
     # the supplier probe join sits below the lineitem-side exchange
-    # (tree prints parent before child)
-    ex_idx = plan.index("hashpartitioning(s_nationkey")
-    supp_idx = plan.index("BroadcastHashJoin [l_suppkey")
-    assert supp_idx > ex_idx, "supplier probe no longer below the orderkey exchange"
+    # (tree prints parent before child). Match any hashpartitioning
+    # exchange CONTAINING s_nationkey rather than assuming Catalyst
+    # puts it first in the key list (ADVICE r12: predicate-ordering
+    # drift would otherwise raise ValueError from .index with no
+    # context).
+    ex_lines = [
+        i for i, l in enumerate(lines)
+        if "hashpartitioning(" in l and "s_nationkey" in l
+    ]
+    supp_lines = [i for i, l in enumerate(lines) if "BroadcastHashJoin [l_suppkey" in l]
+    assert ex_lines, f"no s_nationkey-keyed exchange in plan:\n{plan}"
+    assert supp_lines, f"no supplier broadcast probe join in plan:\n{plan}"
+    assert min(supp_lines) > min(ex_lines), (
+        "supplier probe no longer below the orderkey exchange"
+    )
 
 
 def test_dataset_mix_is_map_side_only(spark):
