@@ -163,6 +163,10 @@ def _calibrated_vs_prev(total: float, calibration: float, sf: str):
                 rec = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        # the driver's per-round records wrap the bench JSON line under
+        # "parsed" (alongside rc/tail); unwrap before reading fields
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
         try:
             same_sf = float(rec.get("sf")) == float(sf)
         except (TypeError, ValueError):

@@ -46,9 +46,13 @@ FLAG_NOTES = {
         "is 0.24x its input: the linear asymptote."
     ),
     "q10_returned_items": (
-        "identical plan at both tiers (3 BHJ, 4 Exchange); same "
-        "partial-agg-efficacy baseline artifact as q18 — 15 MB at 10x "
-        "is ~0.13x input, linear asymptote."
+        "round-13 re-plan aggregates BEFORE joining (order grain ahead "
+        "of the orderkey join, customer grain ahead of the customer "
+        "join — 6.63 -> 4.05 s at 100x); the remaining shuffles are "
+        "the per-order partial-aggregate output and the orderkey join, "
+        "both linear in rows, and the custkey exchange is one skinny "
+        "row per customer. Same partial-agg-efficacy baseline artifact "
+        "as q18 at the small tier."
     ),
     "events_rolling_distinct": (
         "identical plan at both tiers (5 Exchange); 8.9 MB at 10x is "
@@ -110,17 +114,20 @@ MID_TIER_WORST_NOTES = {
         "warm-cache value sub-linear)."
     ),
     ("100x", "decontaminate"): (
-        "11.3x wall for 100x rows — sub-linear, and the round-10 "
-        "re-plan's ACCEPTED local trade: the doc_id window over the "
-        "full exploded shingle set (495 MB shuffle, no map-side "
-        "combine) was replaced by an explode-free in-row size() branch "
-        "whose extra shingle pass costs locally about what the "
-        "eliminated shuffle saved (9.2 -> 10.4 s idle min-of-3, within "
-        "spread) — the win is the network at cluster scale (shuffle "
-        "495 -> 148 MB, the replacement pass embarrassingly parallel). "
-        "Documented in plans/curation_queries.py with the two measured "
-        "Catalyst pathologies from the failed intermediate forms. "
-        "Closed (accepted trade)."
+        "round-13 worst-query profiling attributed the 9-10 s wall to "
+        "the eval-shingle BROADCAST (5.6M distinct strings — the "
+        "synthetic's doc_id%4 eval split scales with the corpus — "
+        "collected, hash-built once, probed 18.7M times), NOT the "
+        "tokenize passes (ev 2.2 s + n_total 1.5 s + bare explode "
+        "1.6 s of the total); the eval join is now shuffle_hash with "
+        "ev as per-task build: 10.30 -> 7.58 s, exceptAll = 0, no "
+        "BroadcastHashJoin left in the plan (lock tightened). "
+        "Rejected by measurement: single-pass left-join form (13.9 s), "
+        "xxhash64/md5 pre-hash keys. Documented lever for a "
+        "genuinely-bounded eval side: runtime bloom filter (5.19 s, "
+        "77% of train shingle rows miss) — a session conf. The "
+        "round-10 window->in-row-size() trade remains as shipped "
+        "(495 MB shuffle eliminated). Closed (re-planned, measured)."
     ),
     ("3x", "pii_pseudonymize"): (
         "2.2x wall for 3x rows — SUB-linear; worst only because every "
@@ -742,8 +749,10 @@ def _extended_drift_section() -> list[str]:
                 f"- `{q}`: {r9v:.3f} -> {r10v:.3f} -> **{now:.3f} s** "
                 f"(spread {cv.get(q)}) — "
                 + (
-                    "the accepted round-10 trade, expected to stay "
-                    "elevated locally."
+                    "the accepted round-10 trade; re-planned again in "
+                    "round 13 (eval join shuffle_hash — see the 100x "
+                    "investigation note), so the current value "
+                    "reflects the new plan, not r10's."
                     if q == "decontaminate"
                     else "reverted toward r9 / within its own spread; "
                     "the r10 value was the chain window, not the plan."
@@ -825,8 +834,9 @@ def _misbroadcast_section() -> list[str]:
         "numpy assignment kernel ships the codebook in the mapInPandas "
         "closure, no broadcast remains); vocabulary/LM folds "
         "(text_tfidf, lm_quality_score, lm_bigram_score — token-type "
-        "domains grow ~Heaps-law sublinearly); the benchmark eval side "
-        "(decontaminate — MBs at 100 TB by design); the stored band "
+        "domains grow ~Heaps-law sublinearly; decontaminate left this "
+        "list in round 13: its eval-shingle join is shuffle_hash now, "
+        "no broadcast remains); the stored band "
         "index (dedup_against_corpus — grows with the corpus, and its "
         "docstring already names the scale path: a pre-bucketed index "
         "table the probe equi-joins, with Catalyst flipping to a "
