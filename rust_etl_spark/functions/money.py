@@ -36,13 +36,28 @@ from __future__ import annotations
 
 
 def cents_sql(col: str) -> str:
-    """Integer cents of a dollar-valued double column (engine-portable)."""
-    return f"CAST(round({col} * 100, 0) AS BIGINT)"
+    """Integer cents of a dollar-valued double column (engine-portable).
+
+    floor(x*100 + 0.5), not round(x*100, 0): every step is a
+    correctly-rounded IEEE op, so the two engines agree BY
+    CONSTRUCTION (the repo's round_half_up doctrine) — round(double)
+    only agrees empirically (Spark rounds the decimal string via
+    BigDecimal, DuckDB multiplies), and Spark's BigDecimal path
+    allocates per row: the round-13 chain measured the round()-based
+    form DOUBLING the scan-bound wide aggregates (q1 0.92 -> 2.04 s,
+    groupby_agg 1.11 -> 2.34 s at the 100x tier; the floor form
+    restored them). Fixture money carries exactly 2 decimals, so
+    x*100 sits within ~1e-9 of an integer and the +0.5 never lands
+    near a representational boundary; for negative amounts
+    (c_acctbal) the tie rule is half-toward-+inf, the same documented
+    convention as round_half_up.
+    """
+    return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
 
 
 def pct_sql(col: str) -> str:
     """Integer percent of a rate-valued double column (0.05 -> 5)."""
-    return f"CAST(round({col} * 100, 0) AS BIGINT)"
+    return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
 
 
 #: lineitem building blocks

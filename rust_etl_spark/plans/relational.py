@@ -711,7 +711,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH spend AS (
             SELECT o_custkey,
-                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
             FROM orders GROUP BY o_custkey
         ),
         dec AS (
@@ -727,7 +727,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dec GROUP BY decile
     """,
     doc="Customer lifetime-value deciles: per-customer order spend in "
-    "exact integer cents (floor-quantized, engine-identical), ntile(10) "
+    "exact integer cents (half-up-quantized, engine-identical), ntile(10) "
     "under a total order, per-decile occupancy and spend envelope — the "
     "value-segmentation behind tiered retention spend.",
 )
@@ -750,7 +750,7 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        F.sum(F.expr(_O_CENTS)).cast("long").alias("cents")
     )
     banded = spend.withColumn("band", F.expr(f"cents div {GINI_BAND}"))
     w_in = Window.partitionBy("band").orderBy("cents", "o_custkey")
@@ -792,10 +792,12 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- ABC / Pareto classes
 
 ABC_BAND = 100_000_000  #: revenue-band width for the two-level prefix
-#: integer cents x pct revenue: round(price*100) * (100 - round(disc*100))
+#: integer cents x pct revenue: floor-half-up cents x (100 - pct)
+#: (the functions/money.py IEEE form — round(double) is BigDecimal-based
+#: in Spark and only empirically engine-portable; see money.cents_sql)
 _REV_SCALED = (
-    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
 )
 
 
@@ -893,7 +895,7 @@ GINI_BAND = 1_000_000  #: spend-band width (cents) for the rank decomposition
     oracle="""
         WITH spend AS (
             SELECT o_custkey,
-                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
             FROM orders GROUP BY o_custkey
         ),
         ranked AS (
@@ -935,7 +937,7 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         orders.select(
             "o_custkey",
-            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("c"),
         )
         .groupBy("o_custkey")
         .agg(F.sum("c").cast("long").alias("cents"))

@@ -370,9 +370,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- the only float ops are the final two IEEE steps, which
                -- are bit-identical on both engines given the same BIGINT
                floor((CAST(sum(
-                   CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
-                   - 20 * CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                   - 20 * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
                         * CAST(l_quantity AS BIGINT)
                ) AS BIGINT) / 10000.0) * 100 + 0.5) / 100 AS sum_profit
         FROM lineitem
@@ -423,10 +423,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
-                * (100 - F.expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))
+                F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+                * (100 - F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"))
                 - 20
-                * F.expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
+                * F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
                 * F.col("l_quantity").cast("long")
             )
             .cast("long")
@@ -678,8 +678,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                            * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                         AS BIGINT) AS rev_scaled
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -718,8 +718,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(
-            F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
-            * (100 - F.expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            * (100 - F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"))
         )
         .cast("long")
         .alias("rev_scaled")
