@@ -120,7 +120,17 @@ MID_TIER_WORST_NOTES = {
         "collected, hash-built once, probed 18.7M times), NOT the "
         "tokenize passes (ev 2.2 s + n_total 1.5 s + bare explode "
         "1.6 s of the total); the eval join is now shuffle_hash with "
-        "ev as per-task build: 10.30 -> 7.58 s, exceptAll = 0, no "
+        "ev as per-task build: committed chain record 6.06 s "
+        "(min-of-3, spread 1.3) vs 9.16 in r12 — 1.5x. The "
+        "distributed build trades the old plan's CPU-bound steadiness "
+        "for a ~1 GB shuffle write, which EXPOSES the query to this "
+        "VM's intermittent host-I/O windows: 9 idle runs measured "
+        "[5.5-6.6] steady with spikes to 10-21 s, and one chain slot "
+        "recorded a sustained window (21.2 s min-of-3, spread 10.5) "
+        "that the >50%-regression protocol re-ran to the clean value. "
+        "On a cluster the shuffle crosses dedicated disks/network and "
+        "the broadcast alternative is a driver OOM, so the shuffle "
+        "plan is still the right 100 TB posture. exceptAll = 0, no "
         "BroadcastHashJoin left in the plan (lock tightened). "
         "Rejected by measurement: single-pass left-join form (13.9 s), "
         "xxhash64/md5 pre-hash keys. Documented lever for a "
@@ -247,6 +257,29 @@ WATCH_NOTES = {
         "window — consistent, no action. All closed as the "
         "cold-cache/host-window families; no plan changed for any "
         "of them this chain."
+    ),
+    "r13_chains": (
+        "round 13 ran the chain twice (first on the round()-based "
+        "money quantization, then on the floor-form fix it exposed — "
+        "q1 0.92 -> 2.04 s and groupby_agg 1.11 -> 2.34 s at 100x "
+        "from Spark's per-row BigDecimal round(double); floor form "
+        "restored 1.17/1.65). The warm() pre-stage WORKED: the "
+        "standing cold-cache movers stayed in their idle bands "
+        "in-chain for the first time (events_ewma 4.3-5.2 chain vs "
+        "its old 9.9-14.2 cold records; no post-chain re-adjudication "
+        "needed for that family). First-chain dedup-family elevation "
+        "(minhash_lsh 3.81 / verified 4.86 / ngram 9.22 vs r12's "
+        "2.2/2.9/6.0) idle re-measured immediately after at 2.67 / "
+        "2.78 / 6.51 — in-chain CPU/IO contention, not plans (none "
+        "touched); second chain confirmed in-chain (2.75 / 2.35 / "
+        "6.61). One genuine outlier: the second chain's decontaminate "
+        "slot hit a sustained host-I/O window (21.2 s min-of-3, "
+        "spread 10.5, on a query whose re-plan now writes a ~1 GB "
+        "shuffle); 9 idle runs read [5.5-6.6] steady with "
+        "intermittent 10-21 s spikes, and the >50%-regression "
+        "protocol re-ran the tier bench to the clean committed "
+        "record (6.06 s, spread 1.3). Extended total 101.1 -> 86.2 s "
+        "r12 -> r13 at par anchors (0.972/0.982)."
     ),
     "r12_third_chain_movers": (
         "the third round-12 chain (events_json_extract regen, anchor "
