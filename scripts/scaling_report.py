@@ -278,8 +278,13 @@ WATCH_NOTES = {
         "shuffle); 9 idle runs read [5.5-6.6] steady with "
         "intermittent 10-21 s spikes, and the >50%-regression "
         "protocol re-ran the tier bench to the clean committed "
-        "record (6.06 s, spread 1.3). Extended total 101.1 -> 86.2 s "
-        "r12 -> r13 at par anchors (0.972/0.982)."
+        "record (6.06 s, spread 1.3). text_tfidf, the record's "
+        "nominal tier-worst (9.02, spread 4.8; r12 committed 4.20 at "
+        "spread 7.3), idle re-measures at [11.0, 4.9, 4.2, 4.1, 3.9] "
+        "— steady ~4 s with a first-run JIT/vocab-broadcast cold "
+        "start, the same in-chain window family; plan untouched "
+        "since its Heaps-law vocabulary adjudication. Extended total "
+        "101.1 -> 86.2 s r12 -> r13 at par anchors (0.972/0.982)."
     ),
     "r12_third_chain_movers": (
         "the third round-12 chain (events_json_extract regen, anchor "
