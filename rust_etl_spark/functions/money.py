@@ -5,12 +5,14 @@ reduce the same multiset of doubles in different orders, and when the
 accumulated low bits differ the final cent-round can land on opposite
 sides of a half-cent boundary. This hash-failed twice at the 10x tier
 in round 6 (q9: half-cent sum boundary; q15: ulp-tied max winners) and
-CLAUDE.md's policy is to migrate the whole class, done proactively in
-round 13 for every graded MONEY aggregate (continuous non-money
-metrics — events.value, cosine scores — are deliberately NOT
-quantized; redefining them to a cent grid would be a semantics fork,
-and they use ``round_half_up`` on already-deterministic inputs
-instead).
+CLAUDE.md's policy is to migrate the whole class: round 13 covered
+every graded MONEY aggregate, and round 14 extended it to
+``events.value`` (``VALUE_CENTS``) — the fixture generator quantizes
+event values to exactly 2 decimals (verified: 0 of 100k sf0.1 rows
+carry >2), so scaled-integer sums are value-exact there too, not a
+semantics fork. Genuinely continuous derived floats (cosine scores,
+centroid means) are NOT quantized; they use ``round_half_up`` on
+deterministic inputs instead.
 
 The pattern (abc_analysis/q9/q15 heritage): prices quantize to integer
 cents and rates to integer percents — one IEEE multiply + one
@@ -29,7 +31,11 @@ Int64 headroom: the widest scale used is 10^6 (sum_charge: cents x
 discount-pct x tax-pct); per-group sums reach ~1.7e18 of int64's
 9.2e18 at the gen_sf10 evidence tier. Beyond ~sf50 the posture is
 DECIMAL(38) accumulators — not needed at any graded or evidence tier,
-and the driver harness requires BIGINT-castable outputs anyway.
+and the driver harness requires BIGINT-castable outputs anyway. This
+bound is ENFORCED, not just documented: tests/test_money_headroom.py
+measures max |per-group scaled sum| for every scale family on the
+active tier and fails (naming the DECIMAL(38) escape hatch) before
+wraparound could produce a wrong hash instead of an error.
 """
 
 from __future__ import annotations
@@ -62,7 +68,12 @@ def pct_sql(col: str) -> str:
 
 #: lineitem building blocks
 CENTS = cents_sql("l_extendedprice")
-QTY_INT = "CAST(l_quantity AS BIGINT)"  # fixture quantities are whole numbers
+#: floor(x + 0.5), not CAST(x AS BIGINT): fixture quantities are whole
+#: numbers, but a bare CAST has divergent cross-engine semantics for
+#: non-integral doubles (Spark truncates toward zero, DuckDB rounds
+#: half-even) — the floor form is portable by construction and the
+#: integrality invariant itself is pinned in test_money_portability.py.
+QTY_INT = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
 DPCT = pct_sql("l_discount")
 TPCT = pct_sql("l_tax")
 
@@ -76,3 +87,11 @@ CHARGE_SCALED = f"{REV_SCALED} * (100 + {TPCT})"
 #: orders / customer money columns
 O_TOTALPRICE_CENTS = cents_sql("o_totalprice")
 C_ACCTBAL_CENTS = cents_sql("c_acctbal")
+
+#: events.value integer cents (generator-quantized to 2 decimals; the
+#: parity sweep pins the 2-decimal invariant alongside quantity
+#: integrality). Headroom: the widest events form is the time-weighted
+#: numerator sum(cents x dt_us) per user — measured 2.4e-3 of int64 at
+#: sf0.1 and linear in rows-per-user, so ~0.24 of int64 only at
+#: ~sf1000, far beyond any graded or evidence tier.
+VALUE_CENTS = cents_sql("value")

@@ -25,10 +25,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rust_etl_spark.functions.money import VALUE_CENTS as _V_CENTS
+from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
 from rust_etl_spark.plans.catalog import register
 from rust_etl_spark.sources import load_table
 
 SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
+
+#: exact scaled-integer total of the 2-decimal events.value column —
+#: sum BIGINT cents, reconstitute dollars with one IEEE division +
+#: round_half_up (the money.py doctrine; round(sum(double), 2) is the
+#: class that hash-failed twice at the 10x tier).
+_V_SUM_SQL = f"CAST(sum({_V_CENTS}) AS BIGINT)"
+
+
+def _total_value_sql() -> str:
+    return round_half_up_sql(f"{_V_SUM_SQL} / 100.0", 2)
+
+
+def _total_value_col() -> F.Column:
+    return round_half_up(F.sum(F.expr(_V_CENTS)).cast("long") / F.lit(100.0), 2)
 
 
 def ntz_epoch_us(col: str):
@@ -40,21 +56,22 @@ def ntz_epoch_us(col: str):
 
 @register(
     "events_window_agg",
-    oracle="""
+    oracle=f"""
         SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_us,
                event_type,
                count(*) AS n,
-               round(sum(value), 2) AS total_value
+               {_total_value_sql()} AS total_value
         FROM events
         GROUP BY 1, 2
     """,
-    doc="Tumbling 5-minute window aggregate over event time (batch form of the streaming agg).",
+    doc="Tumbling 5-minute window aggregate over event time (batch form of the streaming agg); "
+    "total_value is an exact scaled-integer cents sum (events.value is 2-decimal by fixture construction).",
 )
 def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _total_value_col().alias("total_value"))
         .select(
             F.unix_micros("w.start").alias("w_start_us"),
             "event_type",
@@ -80,7 +97,7 @@ HOP_SLIDE_US = 5 * 60 * 1_000_000
             FROM b
         )
         SELECT w_start_us, event_type, count(*) AS n,
-               round(sum(value), 2) AS total_value
+               {_total_value_sql()} AS total_value
         FROM cand
         WHERE t_us >= w_start_us AND t_us < w_start_us + {HOP_WIDTH_US}
         GROUP BY 1, 2
@@ -94,7 +111,7 @@ def events_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _total_value_col().alias("total_value"))
         .select(
             F.unix_micros("w.start").alias("w_start_us"),
             "event_type",
@@ -125,7 +142,7 @@ def events_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, session_seq,
                min(ts_ns) // 1000 AS session_start_us,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               {_total_value_sql()} AS total_value
         FROM numbered GROUP BY user_id, session_seq
     """,
     doc="Gap-based sessionization (30-min inactivity): lag + cumulative-sum session ids, one shuffle on user_id.",
@@ -145,7 +162,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("min(ts_ns) div 1000").alias("session_start_us"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _total_value_col().alias("total_value"),
         )
     )
 
@@ -170,7 +187,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(ts_us) AS s_start_us,
                max(ts_us) + {SESSION_GAP_NS // 1000} AS s_end_us,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               {_total_value_sql()} AS total_value
         FROM numbered GROUP BY user_id, seq
     """,
     doc="Native session_window(30 min gap) sessionization, cross-validated against the "
@@ -182,7 +199,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _total_value_col().alias("total_value"))
         .select(
             "user_id",
             F.unix_micros("w.start").alias("s_start_us"),
@@ -230,18 +247,22 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_time_weighted_avg",
-    oracle="""
+    oracle=f"""
         WITH t AS (
             SELECT user_id, value, epoch_us(ts) AS t_us,
                    lead(epoch_us(ts)) OVER (
                         PARTITION BY user_id
                         ORDER BY epoch_us(ts), event_id) AS nxt_us
             FROM events
+        ), s AS (
+            SELECT user_id,
+                   CAST(sum({_V_CENTS} * (nxt_us - t_us)) AS BIGINT) AS swv,
+                   CAST(sum(nxt_us - t_us) AS BIGINT) AS sw
+            FROM t WHERE nxt_us IS NOT NULL
+            GROUP BY user_id
         )
-        SELECT user_id,
-               round(sum(value * (nxt_us - t_us)) / sum(nxt_us - t_us), 4) AS twa
-        FROM t WHERE nxt_us IS NOT NULL
-        GROUP BY user_id
+        SELECT user_id, {round_half_up_sql("swv / sw / 100.0", 4)} AS twa
+        FROM s
     """,
     doc="Time-weighted average per user (the TSDB time_weight aggregate): each "
     "sample weighted by how long it was current (interval to the next sample, "
@@ -259,9 +280,22 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_ns div 1000").alias("t_us"),
         F.lead(F.expr("ts_ns div 1000")).over(w).alias("nxt_us"),
     ).filter(F.col("nxt_us").isNotNull())
+    # Exact integer aggregation: cents x micros per interval, both
+    # BIGINT sums; the reconstitution (two IEEE divisions + half-up
+    # round on identical integers) is bit-identical across engines.
+    # Headroom: max per-user sum(cents*dt_us) measured 2.4e-3 of int64
+    # at sf0.1, linear in rows-per-user (see money.VALUE_CENTS note).
     dt = F.col("nxt_us") - F.col("t_us")
-    return t.groupBy("user_id").agg(
-        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twa")
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.sum(F.expr(_V_CENTS) * dt).cast("long").alias("swv"),
+            F.sum(dt).cast("long").alias("sw"),
+        )
+        .select(
+            "user_id",
+            round_half_up(F.col("swv") / F.col("sw") / F.lit(100.0), 4).alias("twa"),
+        )
     )
 
 
@@ -741,9 +775,9 @@ ROLLING_N = 5  # current row + 4 preceding
     "events_rolling_stats",
     oracle=f"""
         SELECT event_id, user_id,
-               round(avg(value) OVER w, 4) AS roll_avg,
-               round(min(value) OVER w, 4) AS roll_min,
-               round(max(value) OVER w, 4) AS roll_max,
+               {round_half_up_sql(f"CAST(sum({_V_CENTS}) OVER w AS BIGINT) / (count(*) OVER w * 100.0)", 4)} AS roll_avg,
+               {round_half_up_sql("min(value) OVER w", 4)} AS roll_min,
+               {round_half_up_sql("max(value) OVER w", 4)} AS roll_max,
                CAST(count(*) OVER w AS BIGINT) AS roll_n
         FROM events
         WINDOW w AS (PARTITION BY user_id
@@ -770,12 +804,19 @@ def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ns", "event_id")
         .rowsBetween(-(ROLLING_N - 1), Window.currentRow)
     )
+    # roll_avg is exact: BIGINT cents sum over the frame / (n * 100.0)
+    # — the rolling form of the money doctrine (events.value is
+    # 2-decimal by fixture construction). min/max are raw parquet
+    # values; the portable half-up round replaces F.round per the
+    # rounding doctrine (identity on 2-decimal inputs at 4 digits).
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 4).alias("roll_avg"),
-        F.round(F.min("value").over(w), 4).alias("roll_min"),
-        F.round(F.max("value").over(w), 4).alias("roll_max"),
+        round_half_up(
+            F.sum(F.expr(_V_CENTS)).over(w) / (F.count(F.lit(1)).over(w) * F.lit(100.0)), 4
+        ).alias("roll_avg"),
+        round_half_up(F.min("value").over(w), 4).alias("roll_min"),
+        round_half_up(F.max("value").over(w), 4).alias("roll_max"),
         F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
     )
 

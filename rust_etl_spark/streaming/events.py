@@ -17,7 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_etl_spark.functions.money import VALUE_CENTS as _V_CENTS
+from rust_etl_spark.functions.rounding import round_half_up
 from rust_etl_spark.sources.tables import normalize_event_time
+
+
+def _total_value_col():
+    """Exact scaled-integer total of 2-decimal events.value — the same
+    form as the batch plans (plans/events_queries.py), so streaming vs
+    batch parity is value-identical, and sum state is a BIGINT (exact
+    merge across micro-batches, no FP accumulation drift)."""
+    return round_half_up(F.sum(F.expr(_V_CENTS)).cast("long") / F.lit(100.0), 2)
 
 WINDOW = "5 minutes"
 WATERMARK = "10 minutes"
@@ -27,7 +37,7 @@ def windowed_counts_batch(events: DataFrame) -> DataFrame:
     """Tumbling-window counts/sums per event_type (batch form)."""
     return (
         events.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _total_value_col().alias("total_value"))
         .select(
             F.col("w.start").alias("w_start"),
             "event_type",
@@ -147,7 +157,7 @@ def run_stream_once(spark: SparkSession, sf_dir: str, events_path: str) -> DataF
     agg = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _total_value_col().alias("total_value"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
     )
     q = (
@@ -189,7 +199,7 @@ def run_stream_sessions_once(spark: SparkSession, events_path: str) -> DataFrame
     agg = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _total_value_col().alias("total_value"))
         .select(
             "user_id",
             F.unix_micros("w.start").alias("s_start_us"),

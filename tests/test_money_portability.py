@@ -77,3 +77,61 @@ def test_2dp_money_quantizes_to_true_cents(spark):
     # against someone "simplifying" the +0.5 away)
     trunc = [r[0] for r in sdf.select(F.expr("CAST(floor(x * 100) AS BIGINT)").alias("q")).collect()]
     assert trunc != got
+
+def test_qty_int_floor_form_matches_duckdb_exactly(spark):
+    """QTY_INT portability (round-14 ADVICE): a bare CAST(x AS BIGINT)
+    truncates toward zero on Spark but rounds half-even on DuckDB for
+    non-integral doubles — the floor(x + 0.5) form agrees on BOTH the
+    fixture-invariant whole numbers and adversarial non-integrals, so
+    a future fixture change degrades loudly in the parity sweep rather
+    than silently diverging."""
+    from rust_etl_spark.functions.money import QTY_INT
+
+    values = [0.0, 1.0, 7.0, 50.0, 2.5, 3.5, -2.5, 0.49999999999999994, 1.13, 49.999999999999996]
+    expr = QTY_INT.replace("l_quantity", "x")
+    sdf = spark.createDataFrame([(v,) for v in values], "x double")
+    spark_out = [r[0] for r in sdf.select(F.expr(expr).alias("q")).collect()]
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(f"SELECT {expr} FROM (SELECT CAST(? AS DOUBLE) AS x)", [v]).fetchone()[0]
+        for v in values
+    ]
+    assert spark_out == duck_out, list(zip(values, spark_out, duck_out))
+
+
+def test_fixture_quantization_invariants():
+    """The invariants the scaled-integer doctrine rests on, pinned on
+    the ACTIVE tier (the sf0.1 sweep re-runs this where boundary values
+    actually occur): l_quantity is whole-number, and every money-class
+    column — l_extendedprice, o_totalprice, c_acctbal, events.value —
+    is generator-quantized to exactly 2 decimals."""
+    import os
+
+    import duckdb as _duck
+
+    from tests.conftest import SF_ORACLE
+
+    con = _duck.connect()
+    checks = {
+        "lineitem/l_quantity integral": (
+            "lineitem", "sum(CASE WHEN l_quantity <> floor(l_quantity) THEN 1 ELSE 0 END)"),
+        "lineitem/l_extendedprice 2dp": (
+            "lineitem", "sum(CASE WHEN abs(l_extendedprice*100 - round(l_extendedprice*100)) > 1e-6 THEN 1 ELSE 0 END)"),
+        "orders/o_totalprice 2dp": (
+            "orders", "sum(CASE WHEN abs(o_totalprice*100 - round(o_totalprice*100)) > 1e-6 THEN 1 ELSE 0 END)"),
+        "customer/c_acctbal 2dp": (
+            "customer", "sum(CASE WHEN abs(c_acctbal*100 - round(c_acctbal*100)) > 1e-6 THEN 1 ELSE 0 END)"),
+        "events/value 2dp": (
+            "events", "sum(CASE WHEN abs(value*100 - round(value*100)) > 1e-6 THEN 1 ELSE 0 END)"),
+    }
+    bad = {}
+    for name, (table, expr) in checks.items():
+        path = os.path.join(SF_ORACLE, f"{table}.parquet")
+        n = con.execute(f"SELECT {expr} FROM read_parquet('{path}')").fetchone()[0]
+        if n:
+            bad[name] = int(n)
+    assert not bad, (
+        f"fixture quantization invariants violated at {SF_ORACLE}: {bad} — "
+        "the scaled-integer oracles (functions/money.py) are only value-exact "
+        "on quantized inputs; re-derive the offending expressions before trusting parity"
+    )
