@@ -33,13 +33,23 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, ndigits: int = 6) -> Column:
-    """Rounded cosine similarity of two (already double) arrays."""
-    return F.round(dot(a, b) / (norm(a) * norm(b)), ndigits)
+    """Rounded cosine similarity of two (already double) arrays.
+
+    Portable half-up floor rounding (round-14 sweep): cosine is a
+    DERIVED float, and round(double, n) is only empirically portable —
+    the floor form agrees across engines by construction (negatives
+    round half-toward-+inf identically on both)."""
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    return round_half_up(dot(a, b) / (norm(a) * norm(b)), ndigits)
 
 
 def l2sq(a: Column, b: Column, ndigits: int = 6) -> Column:
-    """Rounded squared L2 distance of two (already double) arrays."""
-    return F.round(
+    """Rounded squared L2 distance of two (already double) arrays
+    (portable half-up floor rounding — see :func:`cosine`)."""
+    from rust_etl_spark.functions.rounding import round_half_up
+
+    return round_half_up(
         F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x),
         ndigits,
     )
@@ -52,7 +62,9 @@ def l2sq_sql(a_expr: str, b_expr: str, ndigits: int = 6) -> str:
         f"i -> (CAST(({a_expr})[i] AS DOUBLE) - CAST(({b_expr})[i] AS DOUBLE)) "
         f"* (CAST(({a_expr})[i] AS DOUBLE) - CAST(({b_expr})[i] AS DOUBLE)))"
     )
-    return f"round(list_reduce({diff}, (acc, x) -> acc + x), {ndigits})"
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    return round_half_up_sql(f"list_reduce({diff}, (acc, x) -> acc + x)", ndigits)
 
 
 def l2sq_rhu(a: Column, b: Column, ndigits: int = 6) -> Column:
@@ -94,4 +106,6 @@ def cosine_sql(a_expr: str, b_expr: str, ndigits: int = 6) -> str:
     d = f"list_reduce(list_transform(range(1, len({a_expr}) + 1), i -> ({da})[i] * ({db})[i]), (acc, x) -> acc + x)"
     na = f"sqrt(list_reduce(list_transform({da}, x -> x * x), (acc, x) -> acc + x))"
     nb = f"sqrt(list_reduce(list_transform({db}, x -> x * x), (acc, x) -> acc + x))"
-    return f"round(({d}) / (({na}) * ({nb})), {ndigits})"
+    from rust_etl_spark.functions.rounding import round_half_up_sql
+
+    return round_half_up_sql(f"({d}) / (({na}) * ({nb}))", ndigits)

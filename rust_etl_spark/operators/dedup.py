@@ -482,7 +482,7 @@ _JACCARD_ORACLE = f"""
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+           floor((n_common / (sa.n + sb.n - n_common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -556,7 +556,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
     )
 
 

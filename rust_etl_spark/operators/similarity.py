@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rust_etl_spark.functions.hashing import md5_long60_sql
+from rust_etl_spark.functions.rounding import round_half_up
 from rust_etl_spark.functions.vectors import (
     cosine,
     cosine_sql,
@@ -257,14 +258,17 @@ def _buckets_sql(n_planes_expr: str) -> str:
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
     ), dots AS (
-        SELECT c.vec_id, p.i, round(sum(c.x * p.w), 6) AS dp
+        SELECT c.vec_id, p.i, sum(c.x * p.w) AS dp
         FROM comp c JOIN planes p ON c.d = p.d
         GROUP BY c.vec_id, p.i
     ), buckets AS (
         SELECT vec_id,
+               -- sign test on the half-up-floor-quantized dot (portable
+               -- by construction; round(double, 6) only empirically so).
                -- CAST: sum(BIGINT) is HUGEINT in DuckDB -> float64 via
                -- fetchdf(), breaking the value hash vs Spark's BIGINT.
-               CAST(sum(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bucket
+               CAST(sum(CASE WHEN floor(dp * 1000000.0 + 0.5) > 0
+                             THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bucket
         FROM dots GROUP BY vec_id
     )
 """
@@ -285,8 +289,10 @@ def lsh_buckets(
     -> groupBy(vec_id)) multiplied rows by N_DIMS and shuffled twice
     for what is per-row arithmetic.
 
-    Dot products are rounded to 6 digits before the sign test, mirroring
-    the SQL oracle, so summation-order FP noise cannot flip a bit.
+    Dot products are quantized with the portable half-up floor
+    (floor(dp * 1e6 + 0.5)) before the sign test, mirroring the SQL
+    oracle, so summation-order FP noise cannot flip a bit and the
+    quantize step itself cannot diverge across engines.
     """
     v = to_double_array("embedding")
     planes = _plane_weights(n_planes)
@@ -310,7 +316,7 @@ def lsh_buckets(
     bucket = F.aggregate(
         F.zip_with(
             dots, pows,
-            lambda dp, p: F.when(F.round(dp, 6) > 0, p).otherwise(F.lit(0).cast("long")),
+            lambda dp, p: F.when(F.floor(dp * F.lit(1e6) + F.lit(0.5)) > 0, p).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
@@ -757,7 +763,8 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(unnest(e.embedding) AS DOUBLE) AS x
             FROM assign a JOIN embeddings e USING (vec_id)
         )
-        SELECT cid, d, round(avg(x), 6) AS c_val, count(*) AS n_members
+        SELECT cid, d, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS c_val,
+               count(*) AS n_members
         FROM comp GROUP BY cid, d
     """,
     doc="One Lloyd (k-means) iteration: argmin-L2 assignment to the deterministic "
@@ -775,7 +782,7 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = assign.select("cid", F.posexplode("v").alias("d", "x"))
     return (
         comp.groupBy("cid", F.col("d").cast("long").alias("d"))
-        .agg(F.round(F.avg("x"), 6).alias("c_val"), F.count(F.lit(1)).alias("n_members"))
+        .agg(round_half_up(F.avg("x"), 6).alias("c_val"), F.count(F.lit(1)).alias("n_members"))
     )
 
 
@@ -837,7 +844,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(cid, by_cid[cid]) for cid in cids], "cid long, cvec array<double>"
         )
     return last.select(
-        "cid", "d", F.round(F.col("c_val"), 6).alias("c_val"), "n_members"
+        "cid", "d", round_half_up(F.col("c_val"), 6).alias("c_val"), "n_members"
     )
 
 
@@ -1004,7 +1011,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
                floor(min(nsq) * 1000000.0 + 0.5) / 1000000.0 AS min_normsq,
                floor(max(nsq) * 1000000.0 + 0.5) / 1000000.0 AS max_normsq,
-               round(avg(nsq), 4) AS avg_normsq
+               floor(avg(nsq) * 10000.0 + 0.5) / 10000.0 AS avg_normsq
         FROM v GROUP BY label
     """,
     doc="Embedding-store hygiene audit: per label, vector counts, dim "
@@ -1018,9 +1025,10 @@ def embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side per-row folds (dims, squared norm as a left-to-right
     double fold, bit-identical to the DuckDB mirror) followed by one
     low-cardinality grouped aggregate on label — no joins, no
-    shuffles beyond the tiny final exchange. min/max round with the
-    engine-portable half-up; the cross-row mean uses aggregate
-    rounding (CLAUDE.md invariant).
+    shuffles beyond the tiny final exchange. All rounds (min/max and
+    the cross-row mean) use the engine-portable half-up floor; the
+    mean's summation order is the residual cross-engine exposure and
+    is covered by the sf0.1 + gen_sf1 parity sweeps.
     """
     from rust_etl_spark.functions.rounding import round_half_up
 
@@ -1038,7 +1046,7 @@ def embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("nsq") == 0.0, 1).otherwise(0)).cast("long").alias("n_zero_vecs"),
         round_half_up(F.min("nsq"), 6).alias("min_normsq"),
         round_half_up(F.max("nsq"), 6).alias("max_normsq"),
-        F.round(F.avg("nsq"), 4).alias("avg_normsq"),
+        round_half_up(F.avg("nsq"), 4).alias("avg_normsq"),
     )
 
 

@@ -93,9 +93,9 @@ def predict_lang_sql(toks_expr: str) -> str:
     oracle=f"""
         SELECT lang,
                count(*) AS n_docs,
-               round(avg(n_chars), 2) AS avg_chars,
-               round(avg({token_count_sql('text')}), 2) AS avg_tokens,
-               round(avg({alpha_ratio_sql('text')}), 4) AS avg_alpha
+               {round_half_up_sql("CAST(sum(n_chars) AS BIGINT) / (count(*) * 1.0)", 2)} AS avg_chars,
+               {round_half_up_sql(f"CAST(sum({token_count_sql('text')}) AS BIGINT) / (count(*) * 1.0)", 2)} AS avg_tokens,
+               {round_half_up_sql(f"CAST(sum(CAST(floor({alpha_ratio_sql('text')} * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0)", 4)} AS avg_alpha
         FROM documents
         GROUP BY lang
     """,
@@ -105,19 +105,26 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Materialize per-row features once, then aggregate (keeps the
     # tokenizer single-evaluation per row).
+    # Exact means (money.py doctrine applied to counts): chars/tokens
+    # are integers, so BIGINT sums + one IEEE division are exact; the
+    # alpha ratio (a derived per-row double) is quantized to a 1e-6
+    # grid per row with the portable half-up floor FIRST, making the
+    # cross-row mean integer-exact too — round(avg(double), n) is the
+    # reduction-order class that hash-failed at the 10x tier.
     feat = docs.select(
         "lang",
         "n_chars",
         token_count("text").alias("n_tok"),
-        alpha_ratio("text").alias("alpha"),
+        F.floor(alpha_ratio("text") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("alpha6"),
     )
+    n = F.count(F.lit(1))
     return (
         feat.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
-            F.round(F.avg("alpha"), 4).alias("avg_alpha"),
+            n.alias("n_docs"),
+            round_half_up(F.sum("n_chars").cast("long") / (n * F.lit(1.0)), 2).alias("avg_chars"),
+            round_half_up(F.sum("n_tok").cast("long") / (n * F.lit(1.0)), 2).alias("avg_tokens"),
+            round_half_up(F.sum("alpha6").cast("long") / (n * F.lit(1e6)), 4).alias("avg_alpha"),
         )
     )
 
@@ -256,8 +263,9 @@ TFIDF_TOPK = 3
         ), n AS (SELECT count(*) AS n_corpus FROM documents),
         scored AS (
             SELECT doc_id, term,
-                   round((tf_cnt / CAST(ntok AS DOUBLE))
-                         * ln(CAST(n_corpus AS DOUBLE) / dfreq), 6) AS tfidf
+                   floor((tf_cnt / CAST(ntok AS DOUBLE))
+                         * ln(CAST(n_corpus AS DOUBLE) / dfreq) * 1000000.0 + 0.5)
+                       / 1000000.0 AS tfidf
             FROM stat CROSS JOIN n
         )
         SELECT doc_id, term, tfidf, rk FROM (
@@ -287,7 +295,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = stat.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
-        F.round(
+        # Portable half-up floor round: rank is taken ON the rounded
+        # score, so a round-step boundary flip would reorder top-k
+        # membership — the floor form cannot diverge across engines.
+        round_half_up(
             (F.col("tf_cnt") / F.col("ntok").cast("double"))
             * F.log(F.col("n_corpus").cast("double") / F.col("dfreq")),
             6,
@@ -594,7 +605,7 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum({token_count_sql('text')}) AS BIGINT) AS total_tokens,
                CAST(min(n_chars) AS BIGINT) AS min_chars,
                CAST(max(n_chars) AS BIGINT) AS max_chars,
-               round(avg(n_chars), 2) AS avg_chars,
+               {round_half_up_sql("CAST(sum(n_chars) AS BIGINT) / (count(*) * 1.0)", 2)} AS avg_chars,
                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
         FROM documents
         GROUP BY source, lang
@@ -627,7 +638,9 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("total_tokens"),
             F.min("n_chars").cast("long").alias("min_chars"),
             F.max("n_chars").cast("long").alias("max_chars"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            round_half_up(
+                F.sum("n_chars").cast("long") / (F.count(F.lit(1)) * F.lit(1.0)), 2
+            ).alias("avg_chars"),
             F.count_distinct("fp").cast("long").alias("n_unique_texts"),
         )
     )

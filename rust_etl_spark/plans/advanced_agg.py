@@ -208,11 +208,12 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey,
                CAST(lag(o_orderkey)  OVER w AS BIGINT) AS prev_order,
                CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order,
-               round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_spend,
+               (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                - lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w) / 100.0 AS delta_spend,
                CAST(ntile(4) OVER w AS INT) AS spend_quartile,
-               round(percent_rank() OVER (
+               floor(percent_rank() OVER (
                     PARTITION BY o_custkey
-                    ORDER BY o_totalprice, o_orderkey), 6) AS pr
+                    ORDER BY o_totalprice, o_orderkey) * 1000000.0 + 0.5) / 1000000.0 AS pr
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -230,9 +231,13 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.lag("o_orderkey").over(w).alias("prev_order"),
         F.lead("o_orderkey").over(w).alias("next_order"),
-        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_spend"),
+        # delta_spend is EXACT: integer cents difference reconstituted
+        # with one IEEE division (o_totalprice is 2-decimal money — the
+        # money.py doctrine); pr is a derived ratio, rounded with the
+        # portable half-up floor on both engines.
+        ((F.expr(_O_CENTS) - F.lag(F.expr(_O_CENTS)).over(w)) / F.lit(100.0)).alias("delta_spend"),
         F.ntile(4).over(w).alias("spend_quartile"),
-        F.round(F.percent_rank().over(wp), 6).alias("pr"),
+        round_half_up(F.percent_rank().over(wp), 6).alias("pr"),
     )
 
 
@@ -340,7 +345,8 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) - count(o_orderdate) AS BIGINT) AS null_dates,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price,
-               round(avg(o_totalprice), 2) AS avg_price
+               floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                      / (count(*) * 100.0)) * 100.0 + 0.5) / 100.0 AS avg_price
         FROM orders
     """,
     doc="One-pass table profile (row count, per-column distincts, null count, "
@@ -356,7 +362,12 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("o_orderdate")).alias("null_dates"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        # avg of money is EXACT: BIGINT cents sum / (n * 100.0), then
+        # the portable half-up round — round(avg(double)) is the
+        # reduction-order class that hash-failed at the 10x tier.
+        round_half_up(
+            F.sum(F.expr(_O_CENTS)).cast("long") / (F.count(F.lit(1)) * F.lit(100.0)), 2
+        ).alias("avg_price"),
     )
 
 

@@ -119,10 +119,10 @@ def date_trunc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(l_extendedprice - 30000)                    AS dev,
                CAST(ceil(l_quantity) AS BIGINT)                AS qty_ceil,
                CAST(floor(l_extendedprice) AS BIGINT)          AS price_floor,
-               round(sqrt(l_extendedprice), 6)                 AS price_sqrt,
-               round(ln(l_extendedprice + 1), 6)               AS price_ln,
-               round(log10(l_extendedprice + 1), 6)            AS price_log10,
-               round(power(l_discount + 1, 2), 6)              AS disc_sq,
+               floor(sqrt(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0      AS price_sqrt,
+               floor(ln(l_extendedprice + 1) * 1000000.0 + 0.5) / 1000000.0    AS price_ln,
+               floor(log10(l_extendedprice + 1) * 1000000.0 + 0.5) / 1000000.0 AS price_log10,
+               floor(power(l_discount + 1, 2) * 1000000.0 + 0.5) / 1000000.0   AS disc_sq,
                CAST(sign(l_discount - 0.05) AS BIGINT)         AS disc_sign,
                l_orderkey % 7                                  AS key_mod
         FROM lineitem
@@ -137,10 +137,13 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_extendedprice") - 30000).alias("dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_extendedprice").alias("price_floor"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
-        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        # round_half_up, not F.round: these are DERIVED floats (sqrt/ln/
+        # log10/pow of money), where round(double, n) is only empirically
+        # portable — the floor form is portable by construction.
+        round_half_up(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        round_half_up(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        round_half_up(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        round_half_up(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
         # BIGINT on both sides: DuckDB sign() is TINYINT, Spark signum is
         # DOUBLE (and can emit -0.0) — either difference flips the driver hash.
         F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
@@ -152,10 +155,10 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_regression",
     oracle="""
         SELECT o_orderpriority,
-               round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6)        AS r,
-               round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2)  AS cov,
-               round(regr_slope(o_totalprice, CAST(o_custkey AS DOUBLE)), 6)  AS slope,
-               round(regr_intercept(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS icept
+               floor(corr(o_totalprice, CAST(o_custkey AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS r,
+               floor(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)) * 100.0 + 0.5) / 100.0    AS cov,
+               floor(regr_slope(o_totalprice, CAST(o_custkey AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+               floor(regr_intercept(o_totalprice, CAST(o_custkey AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS icept
         FROM orders GROUP BY o_orderpriority
     """,
     doc="Bivariate statistical aggregates per group: Pearson correlation, sample "
@@ -164,11 +167,13 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     y, x = F.col("o_totalprice"), F.col("o_custkey").cast("double")
+    # Derived statistical aggregates: portable half-up floor rounding
+    # on both engines (negatives round half-toward-+inf identically).
     return orders.groupBy("o_orderpriority").agg(
-        F.round(F.corr(y, x), 6).alias("r"),
-        F.round(F.covar_samp(y, x), 2).alias("cov"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 4).alias("icept"),
+        round_half_up(F.corr(y, x), 6).alias("r"),
+        round_half_up(F.covar_samp(y, x), 2).alias("cov"),
+        round_half_up(F.regr_slope(y, x), 6).alias("slope"),
+        round_half_up(F.regr_intercept(y, x), 4).alias("icept"),
     )
 
 
@@ -250,9 +255,9 @@ def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_stats",
     oracle="""
         SELECT o_orderstatus,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(stddev_samp(o_totalprice), 4)        AS sd,
+               floor(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+               floor(quantile_cont(o_totalprice, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+               floor(stddev_samp(o_totalprice) * 10000.0 + 0.5) / 10000.0         AS sd,
                round(min(o_totalprice), 2)                AS lo,
                round(max(o_totalprice), 2)                AS hi
         FROM orders GROUP BY o_orderstatus
@@ -262,9 +267,12 @@ def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        # Derived order-stat interpolations / dispersion: portable
+        # half-up floor rounding (lo/hi below are raw parquet values,
+        # where round() cannot hit a boundary).
+        round_half_up(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        round_half_up(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        round_half_up(F.stddev_samp("o_totalprice"), 4).alias("sd"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )

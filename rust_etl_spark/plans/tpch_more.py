@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from rust_etl_spark.functions.money import (
     C_ACCTBAL_CENTS as _C_CENTS,
+    CENTS as _L_CENTS,
     REV_SCALED as _REV_SCALED,
 )
 from rust_etl_spark.functions.rounding import round_half_up, round_half_up_sql
@@ -58,7 +59,8 @@ def _ts(lit: str):
             SELECT p_partkey, min(unit_cost) AS best_cost FROM eligible GROUP BY p_partkey
         )
         SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-               p_partkey, p_name, round(unit_cost, 2) AS unit_cost
+               p_partkey, p_name,
+               floor(unit_cost * 100.0 + 0.5) / 100.0 AS unit_cost
         FROM eligible JOIN best USING (p_partkey)
         WHERE unit_cost = best_cost
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
@@ -118,7 +120,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("unit_cost", 2).alias("unit_cost"),
+            # unit_cost is a DERIVED float (price/qty division): the
+            # portable half-up floor round, not F.round (s_acctbal is
+            # a raw 2-decimal parquet value — no boundary exposure).
+            round_half_up(F.col("unit_cost"), 2).alias("unit_cost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -458,7 +463,8 @@ Q11_MEAN_MULT = 2.0
     "q11_important_parts",
     oracle=f"""
         WITH value_by_part AS (
-            SELECT l_partkey AS p_partkey, sum(l_extendedprice) AS part_value
+            SELECT l_partkey AS p_partkey,
+                   CAST(sum({_L_CENTS}) AS BIGINT) AS part_cents
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation   ON s_nationkey = n_nationkey
@@ -466,11 +472,13 @@ Q11_MEAN_MULT = 2.0
             WHERE r_name = 'ASIA'
             GROUP BY l_partkey
         )
-        SELECT p_partkey, round(part_value, 2) AS part_value
+        SELECT p_partkey, {round_half_up_sql("part_cents / 100.0", 2)} AS part_value
         FROM value_by_part,
-             (SELECT {Q11_MEAN_MULT} * avg(part_value) AS thr FROM value_by_part) t
-        WHERE part_value > thr
-        ORDER BY part_value DESC, p_partkey
+             (SELECT {Q11_MEAN_MULT} * (CAST(sum(part_cents) AS BIGINT)
+                                        / (count(*) * 1.0)) AS thr
+              FROM value_by_part) t
+        WHERE part_cents > thr
+        ORDER BY part_cents DESC, p_partkey
     """,
     doc=f"TPC-H-Q11-shaped important parts: parts whose ASIA-supplied value "
     f"exceeds {Q11_MEAN_MULT}x the mean per-part supplied value (lineitem "
@@ -503,17 +511,31 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
+    # Exact scaled-integer supply value (money.py doctrine): the
+    # per-part sum, the mean threshold, the comparison, and the final
+    # ordering all ride the BIGINT cents, so no reduction order or
+    # rounding boundary can flip threshold membership or output order.
     by_part = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(F.sum("l_extendedprice").alias("part_value"))
+        .agg(F.sum(F.expr(_L_CENTS)).cast("long").alias("part_cents"))
     )
-    thr = by_part.agg((Q11_MEAN_MULT * F.avg("part_value")).alias("thr"))
+    thr = by_part.agg(
+        (
+            F.lit(Q11_MEAN_MULT)
+            * (F.sum("part_cents").cast("long") / (F.count(F.lit(1)) * F.lit(1.0)))
+        ).alias("thr")
+    )
     return (
         by_part.join(F.broadcast(thr))
-        .filter(F.col("part_value") > F.col("thr"))
-        .select("p_partkey", F.round("part_value", 2).alias("part_value"))
-        .orderBy(F.col("part_value").desc(), "p_partkey")
+        .filter(F.col("part_cents") > F.col("thr"))
+        .select(
+            "p_partkey",
+            round_half_up(F.col("part_cents") / F.lit(100.0), 2).alias("part_value"),
+            "part_cents",
+        )
+        .orderBy(F.col("part_cents").desc(), "p_partkey")
+        .drop("part_cents")
     )
 
 
@@ -635,14 +657,17 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
-    oracle="""
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN {_REV_SCALED} ELSE 0 END) AS BIGINT) AS promo,
+                   CAST(sum({_REV_SCALED}) AS BIGINT) AS total
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        )
+        SELECT {round_half_up_sql("100.0 * promo / total", 2)} AS promo_pct
+        FROM s
     """,
     doc="TPC-H-Q14-shaped promotion effect: percentage of March-1997 "
     "revenue from PROMO-type parts, computed in one conditional-sum pass.",
@@ -656,17 +681,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1997-03-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    # Exact scaled-integer revenue (money.py doctrine): both sums are
+    # BIGINT, the ratio is two IEEE ops on identical integers, and the
+    # half-up floor round is portable by construction.
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("p_type"), rev)
+        .select(F.col("p_type"), F.expr(_REV_SCALED).alias("rev_s"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0))
-                / F.sum("rev"),
-                2,
-            ).alias("promo_pct")
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_s")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo"),
+            F.sum("rev_s").cast("long").alias("total"),
+        )
+        .select(
+            round_half_up(F.lit(100.0) * F.col("promo") / F.col("total"), 2).alias("promo_pct")
         )
     )
 

@@ -76,6 +76,11 @@ FAMILIES = [
             "q18_large_volume",
             "join_star",
             "q21_sole_late_supplier",
+            # q10 added round 14 (VERDICT r13 #4): its round-13 order-
+            # grain re-plan left "the one orderkey fact exchange" as
+            # the residual wall — the per-order partial aggregate and
+            # the lineitem⋈orders join both ride the bucket clustering.
+            "q10_returned_items",
         ],
         # 100x: where the broadcast->SMJ crossover fully arrives (q3's
         # shuffle steps to ~600 MB as customer outgrows the threshold;

@@ -382,6 +382,78 @@ def _load(name: str) -> dict | None:
         return json.load(f)
 
 
+def _git_prev_record(name: str, cur: dict) -> tuple[str, dict] | None:
+    """The last COMMITTED version of a tier bench record that differs
+    from the working copy — (short sha, record) or None. Makes the
+    gen-tier cross-round anchor machine-readable (VERDICT r13 #8): the
+    chain rewrites BENCH_gen_*.json in place, so 'previous round' for
+    a tier record means its previous git version, not a BENCH_r*.json
+    (those are sf0.1-only)."""
+    import subprocess
+
+    try:
+        shas = subprocess.run(
+            ["git", "log", "-n", "8", "--format=%h", "--", name],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        ).stdout.split()
+        for sha in shas:
+            text = subprocess.run(
+                ["git", "show", f"{sha}:{name}"],
+                capture_output=True, text=True, cwd=ROOT, check=True,
+            ).stdout
+            rec = json.loads(text)
+            if rec.get("value") and rec.get("calibration_sec") and (
+                rec["value"] != cur.get("value")
+                or rec["calibration_sec"] != cur.get("calibration_sec")
+            ):
+                return sha, rec
+    except (subprocess.CalledProcessError, json.JSONDecodeError, OSError):
+        return None
+    return None
+
+
+def _tier_continuity_lines() -> list[str]:
+    """Calibrated cross-round ratios for every gen-tier bench record
+    present: (cur.value/cur.cal) / (prev.value/prev.cal) against the
+    last differing committed version."""
+    out = []
+    for name in ("BENCH_gen_sf1.json", "BENCH_gen_sf3.json", "BENCH_gen_sf10.json",
+                 "BENCH_gen_sf0.3.json"):
+        cur = _load(name)
+        if not cur or not cur.get("value") or not cur.get("calibration_sec"):
+            continue
+        prev = _git_prev_record(name, cur)
+        if not prev:
+            continue
+        sha, rec = prev
+        ratio = (cur["value"] / cur["calibration_sec"]) / (
+            rec["value"] / rec["calibration_sec"]
+        )
+        line = (
+            f"- `{name}`: headline {rec['value']} s (@{sha}) -> {cur['value']} s, "
+            f"anchors {rec['calibration_sec']} / {cur['calibration_sec']} — "
+            f"calibrated **{ratio:.3f}x**"
+        )
+        e0, e1 = rec.get("extended_total"), cur.get("extended_total")
+        if e0 and e1:
+            er = (e1 / cur["calibration_sec"]) / (e0 / rec["calibration_sec"])
+            line += f"; extended {e0} -> {e1} s, calibrated **{er:.3f}x**"
+        out.append(line)
+    if not out:
+        return []
+    return [
+        "## Cross-round continuity at the generated tiers (calibrated)",
+        "",
+        "Same mechanism as bench.py's `calibrated_vs_prev_round` (sf0.1 "
+        "vs committed BENCH_r*.json), applied to the in-place-rewritten "
+        "tier records via their previous git versions — >1 means this "
+        "round's code is slower per unit of CPU-anchor work at that tier:",
+        "",
+        *out,
+        "",
+    ]
+
+
 #: extra curve points beyond the flagged sf0.1->10x pair: (label,
 #: multiplier, bench json, audit json) — sections render only for the
 #: files that exist.
@@ -1179,6 +1251,7 @@ def main() -> None:
         " sf0.001 / sf0.1 / 10x.",
         "",
     ]
+    out += _tier_continuity_lines()
     out += _extended_drift_section()
     out += _range_join_regimes_section()
     out += _misbroadcast_section()

@@ -212,6 +212,39 @@ def test_shipped_q21_exchange_count_drops_with_layout(spark, bucketed, no_broadc
     assert "hashpartitioning(o_orderkey" not in bkt_plan, bkt_plan
 
 
+def test_shipped_q10_exchange_count_drops_with_layout(spark, bucketed, no_broadcast):
+    """q10's round-13 order-grain re-plan names its residual wall as
+    'the one orderkey fact exchange — the bucketed-layout family's
+    answer'. This is that answer, locked: with the layout repointed,
+    the R-lineitem per-order partial aggregate AND the
+    per_order⋈orders join both ride the bucket clustering
+    (HashPartitioning(orderkey) satisfies both distributions), so no
+    orderkey exchange survives — identical rows either way. The
+    remaining exchanges (o_custkey grain, top-20 sort) are not on the
+    bucket key by design."""
+    q = catalog.get("q10_returned_items")
+    base_df = q.fn(spark, SF)
+    base_rows = [tuple(r) for r in base_df.collect()]
+    base_plan = base_df._jdf.queryExecution().executedPlan().toString()
+
+    for tbl, tname in bucketed.items():
+        set_layout_override(SF, tbl, tname)
+    try:
+        bkt_df = q.fn(spark, SF)
+        bkt_rows = [tuple(r) for r in bkt_df.collect()]
+        bkt_plan = bkt_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        clear_layout_overrides()
+
+    assert bkt_rows == base_rows
+    assert _exchanges(bkt_plan) < _exchanges(base_plan), (
+        _exchanges(bkt_plan), _exchanges(base_plan), bkt_plan,
+    )
+    # the orderkey fact exchanges specifically must be gone
+    assert "hashpartitioning(l_orderkey" not in bkt_plan, bkt_plan
+    assert "hashpartitioning(o_orderkey" not in bkt_plan, bkt_plan
+
+
 # ---------------------------------------------------------------------
 # Second key family (VERDICT r9 #5): user-bucketed EVENTS. The events
 # surface shuffles user/day keys in every sessionize/asof/range query;

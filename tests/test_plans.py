@@ -257,12 +257,25 @@ def test_q5_prunes_both_fact_exchanges_and_never_broadcasts_the_order_side(spark
         i for i, l in enumerate(lines)
         if "hashpartitioning(" in l and "s_nationkey" in l
     ]
+    # FIXTURE-SCALE-ONLY assumption (ADVICE r13): q5 leaves the
+    # supplier-side join strategy to Catalyst's size estimate, so the
+    # broadcast shape holds only while the filtered supplier dim sits
+    # under the 64 MB threshold. The supplier dim is genuinely bounded
+    # (it does NOT scale with the fact/corpus — not the round-11
+    # misbroadcast class), so at a tier where AQE flips it to a
+    # shuffle join on l_suppkey that is the CORRECT plan, and this
+    # test tolerates it rather than pinning the crossover tier.
     supp_lines = [i for i, l in enumerate(lines) if "BroadcastHashJoin [l_suppkey" in l]
+    supp_fallback = [
+        l for l in lines
+        if ("ShuffledHashJoin" in l or "SortMergeJoin" in l) and "l_suppkey" in l
+    ]
     assert ex_lines, f"no s_nationkey-keyed exchange in plan:\n{plan}"
-    assert supp_lines, f"no supplier broadcast probe join in plan:\n{plan}"
-    assert min(supp_lines) > min(ex_lines), (
-        "supplier probe no longer below the orderkey exchange"
-    )
+    assert supp_lines or supp_fallback, f"no supplier probe join in plan:\n{plan}"
+    if supp_lines:
+        assert min(supp_lines) > min(ex_lines), (
+            "supplier probe no longer below the orderkey exchange"
+        )
 
 
 def test_dataset_mix_is_map_side_only(spark):
