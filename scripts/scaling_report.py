@@ -186,6 +186,43 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "decontaminate_bloom_lever_r14": (
+        "the round-13 docstring left a dangling lever: 5.19 s measured "
+        "with the runtime bloom filter vs the shipped 7.58. Round 14 "
+        "adjudicated it with an interleaved A/B (5 warm reps each, "
+        "alternating confs so host noise cancels; "
+        "BloomFilterMightContain verified present in the ON plan): "
+        "bloom ON 4.59 s min / OFF 4.64 s min at gen_sf10 — "
+        "indistinguishable, and the shipped shuffle_hash plan itself "
+        "now idles at ~4.6-5.4 s (better than the 6.06 s committed "
+        "chain record; the 5.19-vs-7.58 spread was chain-window "
+        "noise). Decision: conf stays default — making injection fire "
+        "requires applicationSideScanSizeThreshold=0, which would add "
+        "creation-side aggregates to every shuffle join globally for "
+        "a measured ~0 gain on the one query it targeted."
+    ),
+    "dedup_ngram_jaccard_r14_adjudication": (
+        "round 14 gave the largest steady plan-attributable extended "
+        "wall (6.3-6.6 s idle at gen_sf10) the worst-query treatment "
+        "(scripts/ngram_jaccard_profile.py). Subtree attribution: the "
+        "shingle pipeline computes 2.4 s (scan 0.27, +tokenize 0.47, "
+        "+shingle fold 1.54, +md5 2.20, +explode 2.42 — md5 is the "
+        "oracle-portability cost, the rest is codegen string work), "
+        "and everything downstream of the df-cap is trivial (71,835 "
+        "of 18.7M exploded rows survive; members 2.7k lists, pairs "
+        "969k) — the residual ~3.5 s is ONE 18.7M-row/240 MB exchange "
+        "plus the window sort on sh. Two alternatives were measured "
+        "and REJECTED: (a) groupBy(sh).count + join-back runs 10.1 s "
+        "vs 5.4-7.0 s — map-side partial aggregation makes the two "
+        "exchanges non-identical, ReuseExchange never fires, and the "
+        "whole shingle pipeline evaluates twice; (b) a single "
+        "groupBy(sh) collecting doc lists and df together would hold "
+        "UNBOUNDED per-group state on hot shingles (max df ~ corpus "
+        "size) — the sort-based window spills gracefully where that "
+        "hash-agg OOMs, which is exactly why the current shape is the "
+        "100 TB-safe one. Verdict: plan is right; the wall is "
+        "irreducible compute + one spill-safe exchange."
+    ),
     "window_range_frame_r12_replan": (
         "round 12 gave the extended set's largest 100x wall (7.42-7.82 "
         "s idle) the worst-query treatment and RE-PLANNED it: profiling "
