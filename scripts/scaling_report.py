@@ -186,6 +186,22 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "r14_chain_movers": (
+        "the round-14 chain landed clean at the big tiers (gen_sf10 "
+        "headline 0.996x calibrated vs r13, zero per-query regressions "
+        "above 1.4x — the only large movers are IMPROVEMENTS: "
+        "text_tfidf 9.02 -> 3.84 s, settling into the idle ~4 s band "
+        "its r13 adjudication predicted, and similarity_topk 3.21 -> "
+        "0.52 s, a prior cold slot). The gen_sf0.3 record elevated "
+        "1.178x calibrated with six 1.5-2.6x sub-second movers on "
+        "untouched plans (join_star 0.91 -> 2.30 the largest); all "
+        "six idle re-measured with the warm-scan protocol immediately "
+        "after the chain and reverted to AT OR BELOW their r13 values "
+        "(join_star 0.62, q16 0.46, agg_filter_sum 0.11, q2 0.56, "
+        "q13 0.36, lm_quality 0.39 min-of-4) — the in-chain window "
+        "family at the fixed-overhead-dominated small tier; no plan "
+        "changed, none re-planned."
+    ),
     "decontaminate_bloom_lever_r14": (
         "the round-13 docstring left a dangling lever: 5.19 s measured "
         "with the runtime bloom filter vs the shipped 7.58. Round 14 "
