@@ -9,8 +9,13 @@ sf0.1 — invisible at the sf0.01 grading scale).
 
 ``round_half_up`` instead computes floor(x * 10^n + 0.5) / 10^n on
 BOTH engines: every step is a correctly-rounded IEEE operation, so the
-results are bit-identical whenever the inputs are. Intended for
-non-negative scores (for negatives it rounds half toward +inf).
+results are bit-identical whenever the inputs are. Signed inputs are
+supported and parity-safe by construction: negative halves round
+toward +inf (e.g. -0.125 -> -0.12 at 2dp) identically on both engines
+— the round-14 sweep applies it to signed corr/covar/regr slopes and
+cosine scores deliberately. The convention is "half toward +inf", not
+"half away from zero"; what matters for grading is that the two
+engines agree, which pure IEEE ops guarantee.
 """
 
 from __future__ import annotations

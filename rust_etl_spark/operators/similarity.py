@@ -1011,7 +1011,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
                floor(min(nsq) * 1000000.0 + 0.5) / 1000000.0 AS min_normsq,
                floor(max(nsq) * 1000000.0 + 0.5) / 1000000.0 AS max_normsq,
-               floor(avg(nsq) * 10000.0 + 0.5) / 10000.0 AS avg_normsq
+               floor((CAST(sum(CAST(floor(nsq * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / (CAST(count(*) AS DOUBLE) * 1000000.0)) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_normsq
         FROM v GROUP BY label
     """,
     doc="Embedding-store hygiene audit: per label, vector counts, dim "
@@ -1027,8 +1029,9 @@ def embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality grouped aggregate on label — no joins, no
     shuffles beyond the tiny final exchange. All rounds (min/max and
     the cross-row mean) use the engine-portable half-up floor; the
-    mean's summation order is the residual cross-engine exposure and
-    is covered by the sf0.1 + gen_sf1 parity sweeps.
+    cross-row mean is integer-exact on both engines (per-row 1e-6
+    quantization -> BIGINT sum -> one division), so no summation-order
+    exposure remains.
     """
     from rust_etl_spark.functions.rounding import round_half_up
 
@@ -1046,7 +1049,19 @@ def embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("nsq") == 0.0, 1).otherwise(0)).cast("long").alias("n_zero_vecs"),
         round_half_up(F.min("nsq"), 6).alias("min_normsq"),
         round_half_up(F.max("nsq"), 6).alias("max_normsq"),
-        round_half_up(F.avg("nsq"), 4).alias("avg_normsq"),
+        # Integer-exact cross-row mean (the text_stats avg_alpha pattern,
+        # ADVICE r14): quantize nsq per row to a 1e-6 grid, sum the
+        # BIGINTs (order-independent, exact), divide once. A plain
+        # avg(double) sums in engine/partition order and can differ by
+        # ulps across engines — the aggregate-rounding class that
+        # hash-failed at the 10x tier in round 6. Headroom: nsq*1e6 is
+        # ~1e8 per row, so int64 holds to ~1e10 rows per label.
+        round_half_up(
+            F.sum(F.floor(F.col("nsq") * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0)),
+            4,
+        ).alias("avg_normsq"),
     )
 
 

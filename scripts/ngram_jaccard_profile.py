@@ -91,6 +91,15 @@ def main() -> None:
     inter = pairs.groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb").agg(
         F.count(F.lit(1)).alias("n_common")
     )
+    # stage 6b: the threshold filter itself, so stage 7's marginal is
+    # pure projection/round overhead and the attribution in SCALING.md
+    # is exact (ADVICE r14: stages 1-6 omitted the filter, silently
+    # bundling its cost into the stage-6->7 marginal).
+    thresholded = inter.filter(
+        F.col("n_common")
+        / (F.col("na") + F.col("nb") - F.col("n_common"))
+        >= F.lit(JACCARD_THRESHOLD)
+    )
 
     stages = [
         ("1 explode shingles", sh_all),
@@ -99,6 +108,7 @@ def main() -> None:
         ("4 + members regroup (sh shuffle)", members),
         ("5 + pair expansion", pairs),
         ("6 + pair aggregate", inter),
+        ("6b + jaccard threshold filter", thresholded),
         ("7 full query", dedup_ngram_jaccard(spark, sf_dir)),
     ]
     prev = 0.0

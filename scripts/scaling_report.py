@@ -449,19 +449,26 @@ def _git_prev_record(name: str, cur: dict) -> tuple[str, dict] | None:
             ["git", "log", "-n", "8", "--format=%h", "--", name],
             capture_output=True, text=True, cwd=ROOT, check=True,
         ).stdout.split()
-        for sha in shas:
+    except (subprocess.CalledProcessError, OSError):
+        return None
+    for sha in shas:
+        # Per-sha try/except: one malformed or deleted version must not
+        # abort the lookup — skip it and keep consulting older commits
+        # (ADVICE r14: a single bad sha silently dropped the whole
+        # tier-continuity line).
+        try:
             text = subprocess.run(
                 ["git", "show", f"{sha}:{name}"],
                 capture_output=True, text=True, cwd=ROOT, check=True,
             ).stdout
             rec = json.loads(text)
-            if rec.get("value") and rec.get("calibration_sec") and (
-                rec["value"] != cur.get("value")
-                or rec["calibration_sec"] != cur.get("calibration_sec")
-            ):
-                return sha, rec
-    except (subprocess.CalledProcessError, json.JSONDecodeError, OSError):
-        return None
+        except (subprocess.CalledProcessError, json.JSONDecodeError, OSError):
+            continue
+        if rec.get("value") and rec.get("calibration_sec") and (
+            rec["value"] != cur.get("value")
+            or rec["calibration_sec"] != cur.get("calibration_sec")
+        ):
+            return sha, rec
     return None
 
 
