@@ -45,9 +45,9 @@ _REGISTRY: dict[str, Query] = {}
 GRADE_WINDOW = 50
 
 GRADE_ORDER: tuple[str, ...] = (
-    # §2c dedup family (dedup_embedding_cosine — the explicitly-quadratic
-    # correctness baseline — ships pytest-only; its scale path
-    # dedup_embedding_lsh holds the graded slot)
+    # §2c dedup family (dedup_embedding_cosine — the block-bounded
+    # brute-force correctness baseline — ships pytest-only; its scale
+    # path dedup_embedding_lsh holds the graded slot)
     "dedup_exact", "dedup_exact_hash", "dedup_minhash_lsh", "dedup_minhash_groups",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
     # round 5: the two ops a real nightly 100 TB curation run exercises —

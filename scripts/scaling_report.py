@@ -1300,10 +1300,11 @@ def main() -> None:
         "The full DuckDB oracle parity sweep also ran at the 10x tier"
         " — first in round 6, re-run in round 8 on shipped code after"
         " the scale-aware fuzzy-block/lateness re-plans: **183/184"
-        " queries hash-checked green, 0 failed**"
-        " (`dedup_embedding_cosine` excluded — its documented"
-        " brute-force ground-truth form runs ~1h single-threaded in"
-        " DuckDB at 200M candidate pairs). The round-6 sweep caught two real"
+        " queries hash-checked green, 0 failed** (`dedup_embedding_cosine`"
+        " was excluded until round 15, when its all-pairs oracle was"
+        " replaced by the block-bounded form — linear candidate set,"
+        " parity green at sf0.01/sf0.1/gen_sf1/gen_sf10, so sweeps now"
+        " cover all 184). The round-6 sweep caught two real"
         " divergences invisible at graded scales — q15's raw-double"
         " max electing different ulp-tied winners per engine, and q9's"
         " round(sum(double)) half-cent boundary — both migrated to the"
