@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from rust_etl_spark.functions.money import (
     CENTS as _CENTS,
     CHARGE_SCALED as _CHARGE_SCALED,
+    CHARGE_SCALED_DEC38 as _CHARGE_SCALED_DEC38,
     DISC_REV_SCALED as _DISC_REV_SCALED,
     DPCT as _DPCT,
     O_TOTALPRICE_CENTS as _O_CENTS,
@@ -125,6 +126,59 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("qty") / (cnt * F.lit(1.0)), 4).alias("avg_qty"),
             round_half_up(F.col("cents") / (cnt * F.lit(100.0)), 4).alias("avg_price"),
             round_half_up(F.col("dpct") / (cnt * F.lit(100.0)), 4).alias("avg_disc"),
+            F.col("cnt").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "groupby_agg_dec38",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {round_half_up_sql("CAST(charge_dec AS DOUBLE) / 1000000.0", 2)} AS sum_charge,
+               cnt AS count_order
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   sum({_CHARGE_SCALED_DEC38}) AS charge_dec,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+            GROUP BY l_returnflag, l_linestatus
+        ) t
+    """,
+    doc="q1's sum_charge on the DECIMAL(38,0) escape-hatch accumulator "
+    "(functions/money.py dec38_sql) — the tested migration path the int64 "
+    "headroom guard names for tiers past ~sf25; value-identical to "
+    "groupby_agg's BIGINT form wherever that form is in range.",
+)
+def groupby_agg_dec38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int64-headroom escape hatch, as a live oracle-verified query.
+
+    Identical dataflow to ``groupby_agg`` (filter + 2-key groupBy with
+    map-side partial aggregation) but the widest-scale accumulator —
+    charge, 10^-6 dollars — sums in DECIMAL(38,0): exact 38-digit
+    arithmetic on both engines, ~1e19x more headroom than the BIGINT
+    form (which raises ARITHMETIC_OVERFLOW past int64 under Spark's
+    default ANSI mode — tests/test_money_dec38.py). The exact
+    decimal sum reconstitutes through one correctly-rounded cast to
+    DOUBLE (identical on both engines even above 2^53) + one IEEE
+    division + the portable half-up round. Per-tier cost vs the BIGINT
+    accumulator is measured in DEC38_BENCH.json (scripts/dec38_bench.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(_CHARGE_SCALED_DEC38)).alias("charge_dec"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            round_half_up(
+                F.col("charge_dec").cast("double") / F.lit(1000000.0), 2
+            ).alias("sum_charge"),
             F.col("cnt").alias("count_order"),
         )
     )

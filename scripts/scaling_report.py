@@ -674,6 +674,46 @@ def _curation_section() -> list[str]:
     return lines
 
 
+def _dec38_section() -> list[str]:
+    """DECIMAL(38,0) escape-hatch cost, rendered from DEC38_BENCH.json
+    (scripts/dec38_bench.py — round-15 VERDICT #4: the headroom guard's
+    migration path must have a measured cost, not a designed-on-the-
+    spot one)."""
+    db = _load("DEC38_BENCH.json")
+    if not db:
+        return []
+    lines = [
+        "## DECIMAL(38,0) money-accumulator escape hatch (measured)",
+        "",
+        "`tests/test_money_headroom.py` trips near ~sf25 (charge_scaled"
+        " at q1's 4-group grain) and points at the `dec38_sql` migration"
+        " (functions/money.py), which is implemented and oracle-verified"
+        " (`groupby_agg_dec38`) — this is its measured premium on the"
+        " minimal q1 charge shape, where the A/B delta is exactly the"
+        " accumulator type (same filter, groupBy, and count; adjacent"
+        " warm min-of-"
+        f"{db['runs_per_point']} runs):",
+        "",
+        "| tier | BIGINT s | DECIMAL(38,0) s | dec38 / bigint |",
+        "|---|---|---|---|",
+    ]
+    for t in db["tiers"]:
+        lines.append(
+            f"| {t['tier']} ({t['mult']}x) | {t['bigint_min_sec']} "
+            f"| {t['dec38_min_sec']} | **{t['dec38_over_bigint']}x** |"
+        )
+    lines += [
+        "",
+        "Past-int64 failure mode under Spark 4's default ANSI mode is a"
+        " LOUD `ARITHMETIC_OVERFLOW` (pinned in tests/test_money_dec38.py"
+        " along with exact-beyond-int64 parity of the decimal form), so"
+        " the premium is paid only at tiers the guard names, never"
+        " preemptively.",
+        "",
+    ]
+    return lines
+
+
 def _bucketed_section() -> list[str]:
     """Bucketed co-partitioned layout vs plain parquet, rendered from
     BUCKETED_BENCH.json (scripts/bucketed_layout_bench.py — VERDICT r8
@@ -1320,6 +1360,7 @@ def main() -> None:
     out += _bucketed_section()
     out += _curation_section()
     out += _streaming_section()
+    out += _dec38_section()
     out += [
         "| query | wall sf0.1 s | wall 10x s | wall ratio | shufW sf0.1 MB | shufW 10x MB | shuf ratio | spill 10x MB |",
         "|---|---|---|---|---|---|---|---|",

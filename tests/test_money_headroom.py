@@ -2,20 +2,27 @@
 doctrine (round-14 VERDICT #2: "overflow is impossible-by-test, not
 impossible-by-prose").
 
-Spark's non-ANSI sum(BIGINT) WRAPS silently on overflow while DuckDB
-promotes to HUGEINT (then CAST AS BIGINT raises) — so past the
-headroom the engines would diverge with a wrong hash instead of an
-error. This test measures the ACTUAL worst-case accumulator — the max
+Past the headroom the BIGINT path FAILS: under Spark 4's default ANSI
+mode sum(BIGINT) overflow raises ARITHMETIC_OVERFLOW (a loud query
+error — pinned in tests/test_money_dec38.py; the silent wrap earlier
+prose described is the non-ANSI behavior, which nothing in this repo
+or the driver enables), while DuckDB promotes to HUGEINT and its CAST
+AS BIGINT raises. This test measures the ACTUAL worst-case
+accumulator — the max
 |per-group sum| at each scale family's coarsest graded grain — ON THE
 ACTIVE TIER (the sf0.1 parity sweep and the one-off gen_sf1/gen_sf10
 sweeps re-run it at 10x/100x fixture scale) and fails while there is
-still a 2x safety factor left, long before a wrong hash is possible.
+still a 2x safety factor left, long before any query can fail.
 Measured reference points: charge_scaled at q1's 4-group grain is
 ~18% of int64 at gen_sf10 and linear in rows-per-group, so this trips
-near ~sf25 — before the ~sf50 wraparound crossing documented in
-functions/money.py. The escape hatch when a tier trips it: migrate
-the offending family's accumulator to DECIMAL(38) (money.py module
-docstring, "Int64 headroom").
+near ~sf25 — before the ~sf50 overflow crossing documented in
+functions/money.py. The escape hatch when a tier trips it is
+IMPLEMENTED and oracle-verified: migrate the offending family's
+accumulator to DECIMAL(38,0) via functions/money.py::dec38_sql —
+groupby_agg_dec38 (plans/relational.py) is the live tested migration
+of the widest family, tests/test_money_dec38.py pins its cross-engine
+parity including a beyond-int64 sum, and DEC38_BENCH.json records the
+measured cost.
 """
 
 from __future__ import annotations
@@ -73,8 +80,9 @@ def test_scaled_sums_stay_inside_int64_headroom():
             over[name] = report[name]
     assert not over, (
         f"scaled-integer accumulators within 2x of int64 wraparound at {SF_ORACLE}: {over}. "
-        "Spark non-ANSI sum(BIGINT) wraps SILENTLY here — migrate the family to "
-        "DECIMAL(38) accumulators (functions/money.py 'Int64 headroom') before "
+        "Spark's ANSI sum(BIGINT) raises ARITHMETIC_OVERFLOW here — migrate the "
+        "family to DECIMAL(38,0) accumulators via functions/money.py::dec38_sql "
+        "(tested migration: groupby_agg_dec38 + tests/test_money_dec38.py) before "
         "running this tier. Full report: " + repr(report)
     )
 
@@ -102,6 +110,7 @@ def test_twa_numerator_stays_inside_int64_headroom():
     total = abs(int(total or 0))
     assert total <= HEADROOM_BOUND, (
         f"twa numerator at {total / INT64_MAX:.2%} of int64 at {SF_ORACLE} — "
-        "migrate events_time_weighted_avg to DECIMAL(38) accumulators "
-        "(functions/money.py 'Int64 headroom')"
+        "migrate events_time_weighted_avg to DECIMAL(38,0) accumulators via "
+        "functions/money.py::dec38_sql (tested migration pattern: "
+        "groupby_agg_dec38 + tests/test_money_dec38.py)"
     )
