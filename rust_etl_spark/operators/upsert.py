@@ -18,7 +18,7 @@ This is crash-safe, not transactional — a
 concurrent reader can still see the directory change underneath it;
 snapshot isolation needs a table format (Delta/Iceberg), whose jars
 are not in this environment (re-checked rounds 5, 6, 8, 10, 11, 12,
-13 and 14: 0 delta/iceberg/hudi jars among the 286 in the pyspark
+13, 14 and 15: 0 delta/iceberg/hudi jars among the 287 in the pyspark
 distribution, no delta/pyiceberg Python packages, no network to
 fetch; if they ever appear, implement real ``MERGE INTO`` behind this
 same API).
