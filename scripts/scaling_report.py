@@ -674,6 +674,48 @@ def _curation_section() -> list[str]:
     return lines
 
 
+def _idle_remeasure_section() -> list[str]:
+    """Driver-window noise adjudication, rendered from
+    IDLE_REMEASURES.json (scripts/idle_remeasure.py — round-15 VERDICT
+    #1/#2: the idle values that adjudicate elevated committed records
+    must live in a committed artifact, not prose)."""
+    ir = _load("IDLE_REMEASURES.json")
+    if not ir:
+        return []
+    lines = [
+        "## Idle re-measure adjudication (machine-readable)",
+        "",
+        f"The biggest calibrated per-query movers of `{ir['cur_record']}`"
+        f" vs `{ir['base_record']}`, re-measured idle (page-cache warm,"
+        f" min-of-{ir['runs_per_query']}, own CPU anchor"
+        f" {ir['idle_calibration_sec']}) at `{ir['sf_dir']}`:",
+        "",
+        "| query | base s | cur s (ratio) | idle s | idle vs base (calibrated) |",
+        "|---|---|---|---|---|",
+    ]
+    reverted = 0
+    for q in ir["queries"]:
+        ratio = q.get("cur_vs_base_calibrated")
+        iv = q.get("idle_vs_base_calibrated")
+        if iv is not None and iv <= 1.1:
+            reverted += 1
+        lines.append(
+            f"| {q['query']} | {q['base_sec']} | {q['cur_sec']}"
+            f" ({ratio if ratio is not None else '—'}x) | {q['idle_min_sec']}"
+            f" | **{iv if iv is not None else '—'}x** |"
+        )
+    n = len(ir["queries"])
+    lines += [
+        "",
+        f"{reverted}/{n} movers revert to within 1.1x of the base record"
+        " when measured idle — those elevations are measurement-window"
+        " noise on unchanged plans, not regressions. Any row that stays"
+        " elevated idle is a real mover and gets its own investigation.",
+        "",
+    ]
+    return lines
+
+
 def _dec38_section() -> list[str]:
     """DECIMAL(38,0) escape-hatch cost, rendered from DEC38_BENCH.json
     (scripts/dec38_bench.py — round-15 VERDICT #4: the headroom guard's
@@ -1361,6 +1403,7 @@ def main() -> None:
     out += _curation_section()
     out += _streaming_section()
     out += _dec38_section()
+    out += _idle_remeasure_section()
     out += [
         "| query | wall sf0.1 s | wall 10x s | wall ratio | shufW sf0.1 MB | shufW 10x MB | shuf ratio | spill 10x MB |",
         "|---|---|---|---|---|---|---|---|",
