@@ -32,18 +32,48 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def _unwrap(rec: dict) -> dict:
+    # driver-written BENCH_r*.json wraps the bench line under "parsed"
+    return rec.get("parsed", rec)
+
+
 def _load(path: str) -> dict:
+    # "name@sha" loads a committed git version (the driver's post-close
+    # run rewrites BENCH_LOCAL.json in place each round, so "previous
+    # round" for the full 44-query extended record means its previous
+    # git version — the compact BENCH_r*.json lines carry headline
+    # queries only)
+    import subprocess
+
+    if "@" in path:
+        name, sha = path.rsplit("@", 1)
+        text = subprocess.run(
+            ["git", "show", f"{sha}:{name}"],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        ).stdout
+        return _unwrap(json.loads(text))
     with open(os.path.join(ROOT, path)) as f:
-        return json.load(f)
+        return _unwrap(json.load(f))
 
 
-def _round_records() -> list[str]:
-    recs = []
-    for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            recs.append((int(m.group(1)), os.path.basename(p)))
-    return [name for _, name in sorted(recs)]
+def _prev_bench_local_sha() -> str:
+    """Sha of the last committed BENCH_LOCAL.json that differs from the
+    working-tree one (= the previous driver round's record)."""
+    import subprocess
+
+    cur = open(os.path.join(ROOT, "BENCH_LOCAL.json")).read()
+    shas = subprocess.run(
+        ["git", "log", "--format=%h", "--", "BENCH_LOCAL.json"],
+        capture_output=True, text=True, cwd=ROOT, check=True,
+    ).stdout.split()
+    for sha in shas:
+        text = subprocess.run(
+            ["git", "show", f"{sha}:BENCH_LOCAL.json"],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        ).stdout
+        if text != cur:
+            return sha
+    raise SystemExit("no differing committed BENCH_LOCAL.json found")
 
 
 def _all_queries(rec: dict) -> dict[str, float]:
@@ -55,22 +85,30 @@ def _all_queries(rec: dict) -> dict[str, float]:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    p.add_argument("--base", help="committed record to diff against "
-                   "(default: second-highest BENCH_r*.json)")
+    p.add_argument("--base", help="committed record to diff against; "
+                   "'name@sha' reads a git version (default: previous "
+                   "committed BENCH_LOCAL.json)")
     p.add_argument("--cur", help="record whose movers to adjudicate "
-                   "(default: highest BENCH_r*.json)")
+                   "(default: working-tree BENCH_LOCAL.json)")
+    p.add_argument("--chain", help="optional second reference record "
+                   "('name@sha'), e.g. the previous end-of-round chain "
+                   "run — separates sandbox drift (idle matches chain) "
+                   "from record-specific noise (idle matches base)")
     p.add_argument("--top", type=int, default=10)
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--queries", nargs="*",
                    help="explicit query names (skips mover selection)")
     args = p.parse_args()
 
-    rounds = _round_records()
-    base_name = args.base or rounds[-2]
-    cur_name = args.cur or rounds[-1]
+    base_name = args.base or f"BENCH_LOCAL.json@{_prev_bench_local_sha()}"
+    cur_name = args.cur or "BENCH_LOCAL.json"
     base, cur = _load(base_name), _load(cur_name)
     bq, cq = _all_queries(base), _all_queries(cur)
     b_cal, c_cal = base["calibration_sec"], cur["calibration_sec"]
+    chain, chq = None, {}
+    if args.chain:
+        chain = _load(args.chain)
+        chq = _all_queries(chain)
 
     if args.queries:
         names = args.queries
@@ -94,6 +132,15 @@ def main() -> None:
     bench._warm_page_cache(args.sf_dir)
     my_cal = bench._calibration()
 
+    # Session-shape pre-pass: bench.py measures each query inside a
+    # 60+-query session (JIT, Python workers, codegen caches all hot),
+    # so a fresh 10-query session reads JVM-heavy queries up to ~2x
+    # high on its first executions. One untimed pass of the whole
+    # selection before any timing closes most of that gap (measured
+    # round 15: first-run spreads of 3-7 s on sub-second queries).
+    for name in names:
+        get(name).fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+
     rows = []
     for name in names:
         q = get(name)
@@ -115,6 +162,10 @@ def main() -> None:
                 (cq[name] / c_cal) / (bq[name] / b_cal), 3) if cq.get(name) else None
             row["idle_vs_base_calibrated"] = round(
                 (idle / my_cal) / (bq[name] / b_cal), 3)
+        if chq.get(name):
+            row["chain_sec"] = chq[name]
+            row["idle_vs_chain_calibrated"] = round(
+                (idle / my_cal) / (chq[name] / chain["calibration_sec"]), 3)
         rows.append(row)
         print(json.dumps(row))
 
@@ -122,6 +173,7 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "base_record": base_name,
         "cur_record": cur_name,
+        "chain_record": args.chain,
         "base_calibration_sec": b_cal,
         "cur_calibration_sec": c_cal,
         "idle_calibration_sec": my_cal,
