@@ -186,6 +186,26 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "r15_rebaseline": (
+        "the round-15 chain re-baselined the two records VERDICT r14 #1 "
+        "named: gen_sf0.3 reads 0.854x headline / 0.860x extended "
+        "calibrated vs its elevated r14 version (the 1.178x/1.206x "
+        "elevation was the measurement window, now reverted in the "
+        "committed record itself) and gen_sf10 reads 0.987x/1.048x. "
+        "gen_sf1's 1.123x headline line is an ANCHOR artifact, not a "
+        "slowdown: its r14 version was recorded at anchor 1.13 (a slow "
+        "CPU window) and the raw headline got FASTER (15.193 -> 14.569 "
+        "s) — dividing by a 17% faster anchor manufactures the ratio. "
+        "The driver-window mover question (VERDICT r14 #2) is settled "
+        "by the committed IDLE_REMEASURES.json: all 10 biggest r14 "
+        "movers sit 0.69-1.11x of the r14 chain record when idle, and "
+        "repeated idle runs minutes apart swing sub-second fixture "
+        "queries up to ~1.7x (events_seasonal_decompose 0.68 -> 0.40 s "
+        "across three runs) — chain records, not driver-window values, "
+        "are the diff baseline. bench.py now pre-warms the page cache "
+        "itself so the driver's post-close run stops paying cold-read "
+        "variance into BENCH_r*.json."
+    ),
     "r14_chain_movers": (
         "the round-14 chain landed clean at the big tiers (gen_sf10 "
         "headline 0.996x calibrated vs r13, zero per-query regressions "
@@ -1404,7 +1424,8 @@ def main() -> None:
         " was excluded until round 15, when its all-pairs oracle was"
         " replaced by the block-bounded form — linear candidate set,"
         " parity green at sf0.01/sf0.1/gen_sf1/gen_sf10, so sweeps now"
-        " cover all 184). The round-6 sweep caught two real"
+        " cover the whole catalog — re-proven by the round-15 full"
+        " gen_sf1 sweep of all 185). The round-6 sweep caught two real"
         " divergences invisible at graded scales — q15's raw-double"
         " max electing different ulp-tied winners per engine, and q9's"
         " round(sum(double)) half-cent boundary — both migrated to the"
