@@ -204,7 +204,12 @@ WATCH_NOTES = {
         "across three runs) — chain records, not driver-window values, "
         "are the diff baseline. bench.py now pre-warms the page cache "
         "itself so the driver's post-close run stops paying cold-read "
-        "variance into BENCH_r*.json."
+        "variance into BENCH_r*.json. The r15 chain's own gen_sf10 "
+        "movers were spot re-measured idle (warm, pre-pass, anchor "
+        "0.995) immediately after: ngram_counts 4.77 in-chain -> 1.74 "
+        "idle (r14 band 1.63), events_retention 3.10 -> 1.28 (band "
+        "1.15), q5_local_supplier 2.81 -> 2.60 — all chain-window "
+        "noise on untouched plans, closed."
     ),
     "r14_chain_movers": (
         "the round-14 chain landed clean at the big tiers (gen_sf10 "

@@ -59,6 +59,17 @@ def test_flagship_agg_is_two_phase_with_pushdown(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_dec38_variant_keeps_the_q1_plan_shape(spark):
+    """The DECIMAL(38,0) escape-hatch accumulator must not change the
+    dataflow: same pushdown, same two-phase (map-side partial) hash
+    aggregate as groupby_agg — the premium is the accumulator type
+    only (DEC38_BENCH.json), never a lost partial aggregation."""
+    plan = _formatted_plan(spark, "groupby_agg_dec38")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_star_join_broadcasts_all_dims(spark):
     plan = _formatted_plan(spark, "join_star")
     # each node appears twice in formatted output (tree + detail).
