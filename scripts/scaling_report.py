@@ -523,6 +523,20 @@ def _tier_continuity_lines() -> list[str]:
         if e0 and e1:
             er = (e1 / cur["calibration_sec"]) / (e0 / rec["calibration_sec"])
             line += f"; extended {e0} -> {e1} s, calibrated **{er:.3f}x**"
+        # Anchor-dominated ratios mislead (round 15: gen_sf1 read
+        # 1.123x "slower" while the RAW headline got faster, purely
+        # because the r14 version was recorded in a 17% slower CPU
+        # window) — say so inline when the anchors differ enough to
+        # manufacture most of the ratio.
+        cal_shift = cur["calibration_sec"] / rec["calibration_sec"]
+        if abs(cal_shift - 1.0) > 0.10:
+            raw = cur["value"] / rec["value"]
+            line += (
+                f" — CAUTION: anchors differ {cal_shift:.2f}x between the two"
+                f" windows, so this ratio is partly anchor-dominated (raw"
+                f" {raw:.3f}x); adjudicate with an idle re-measure before"
+                f" treating it as a plan change"
+            )
         out.append(line)
     if not out:
         return []
