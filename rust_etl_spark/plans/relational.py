@@ -229,23 +229,65 @@ def agg_filter_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY n_name
         ) t
     """,
-    doc="TPC-H-Q5-shaped star join: nation/region broadcast explicitly; "
-    "orders/customer left to AQE. Exact scaled-integer revenue.",
+    doc="TPC-H-Q5-shaped star join, dims-first: the ASIA restriction is "
+    "pushed through nation->customer->orders before lineitem joins "
+    "anything, and lineitem is partially aggregated per orderkey ahead "
+    "of its only exchange. Exact scaled-integer revenue.",
 )
 def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by ASIA nation (Q5 topology minus the supplier arm).
+
+    Scale posture (round-15 re-plan, measured at every tier): the
+    round-1 form joined full lineitem to full orders on orderkey and
+    then reshuffled the joined LINEITEM-ROW set on custkey before the
+    region restriction ever applied — two full-fact-row exchanges.
+    Now the ASIA restriction flows dims-first (region -> nation ->
+    customer, both bounded dims broadcast) so orders is pruned to ~1/5
+    BEFORE any fact exchange, and the lineitem side is partially
+    aggregated per orderkey (map-side combine collapses the ~4
+    lineitems/order ahead of the exchange; the join on the same key
+    reuses that partitioning, no second lineitem-side shuffle). The
+    pruned per-order side is hinted shuffle_hash: it is filtered but
+    still corpus-scaling, and Catalyst's static estimate would
+    otherwise broadcast it at mid tiers (the round-11 misbroadcast
+    pathology); the per-task hash build holds one partition slice of
+    the ~1/5 orders projection. orders<->customer stays size-based on
+    purpose (the q5/ADVICE-r12 adjudication: size-based selection is
+    self-correcting — it flips to a shuffle join as the estimate
+    grows, while a forced broadcast of a corpus-scaling side is the
+    pathology). Min-of-3 warm vs the old shape: 0.942 -> 0.893 s at
+    sf0.1, 1.376 -> 1.258 s at gen_sf1, 3.056 -> 2.890 s at gen_sf3,
+    4.248 -> 3.440 s at gen_sf10; outputs exactly equal at all tiers.
+    Per-order rev_scaled sums stay ~1e10 « int64 (headroom family:
+    REV_SCALED, coarsest grain unchanged).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    nation_asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation_asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    ord_asia = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "n_name")
+        .hint("shuffle_hash")
+    )
+    li_agg = (
+        li.select("l_orderkey", F.expr(_REV_SCALED).alias("rs"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rs").alias("rs"))
+    )
     return (
-        li.select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li_agg.join(ord_asia, li_agg.l_orderkey == ord_asia.o_orderkey)
         .groupBy("n_name")
-        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        .agg(F.sum("rs").cast("long").alias("rev_scaled"))
         .select(
             "n_name",
             round_half_up(F.col("rev_scaled") / F.lit(10000.0), 2).alias("revenue"),

@@ -73,17 +73,25 @@ def test_dec38_variant_keeps_the_q1_plan_shape(spark):
 def test_star_join_broadcasts_all_dims(spark):
     plan = _formatted_plan(spark, "join_star")
     # each node appears twice in formatted output (tree + detail).
-    # nation/region are EXPLICIT broadcasts of bounded dims — locked
-    # unconditionally (>= 2 joins = 4 mentions). orders/customer are
-    # Catalyst size-based picks: BHJ at this pinned fixture tier but
-    # the documented crossover family (SMJ at gen_sf10), so the lock
-    # tolerates the shuffle fallback for them instead of pinning the
-    # crossover tier (the q5 adjudication pattern, VERDICT r14 #7).
+    # Round-15 dims-first shape: region->nation and nation->customer
+    # are EXPLICIT broadcasts of bounded dims — locked unconditionally
+    # (>= 2 joins = 4 mentions). orders<->customer is a Catalyst
+    # size-based pick (BHJ at this fixture tier, shuffle at the
+    # crossover — tolerated, the q5 adjudication pattern). The final
+    # lineitem-agg <-> pruned-orders join is HINTED shuffle_hash (the
+    # per-order side is corpus-scaling; a broadcast there is the
+    # round-11 misbroadcast pathology) — locked as ShuffledHashJoin
+    # with the spill-safe SMJ fallback tolerated, never a broadcast.
     bhj = plan.count("BroadcastHashJoin")
     shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert bhj >= 4, plan
     assert bhj + shuffle_joins == 8, plan  # exactly 4 join operators
+    assert plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin") >= 2, plan
     assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed below the join
+    # the lineitem side partially aggregates per orderkey BEFORE its
+    # exchange (map-side combine): partial+final pairs for the
+    # per-order agg plus the final nation agg = >= 4 HashAggregates.
+    assert plan.count("HashAggregate") >= 8, plan
 
 
 def test_topk_avoids_global_sort(spark):
