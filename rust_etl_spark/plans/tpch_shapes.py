@@ -89,22 +89,49 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a float rounding boundary.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 topology).
+
+    Scale posture (round-15 re-plan): the earlier form shuffled the
+    near-unfiltered orders projection (the date predicate keeps ~97%
+    of orders) to meet lineitem on orderkey and applied the BUILDING
+    segment restriction LAST via a forced customer broadcast — a
+    corpus-scaling side under an explicit broadcast (the round-11
+    pathology class). Now the segment restriction semi-prunes orders
+    FIRST (left_semi on custkey; size-based join selection broadcasts
+    the segment projection at tested tiers and flips to a shuffle
+    join on its own as the estimate grows — the q5/ADVICE-r12
+    self-correcting posture), cutting the orders-side orderkey
+    exchange ~5x; and the shipdate-filtered lineitem side partially
+    aggregates per orderkey ahead of its exchange, which also makes
+    the old post-join groupBy collapse (orders is unique per
+    orderkey, so the join output is already at result grain — the
+    top-10 runs straight off the joined rows, same total-order
+    tie-break). Interleaved warm pairs at gen_sf10: faster in 4/4
+    reps, min 3.77 -> 3.15 s; outputs exactly equal.
+    """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    li = (
+    per_order = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp"))
-        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .select("l_orderkey", F.expr(_REV_SCALED).alias("rs"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rs").cast("long").alias("rev_scaled"))
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", F.year("o_orderdate").alias("o_year"), "o_orderpriority")
-        .agg(F.sum(F.expr(_REV_SCALED)).cast("long").alias("rev_scaled"))
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "rev_scaled",
+            F.year("o_orderdate").alias("o_year"),
+            "o_orderpriority",
+        )
         .orderBy(F.col("rev_scaled").desc(), F.col("l_orderkey"))
         .limit(10)
         .select(
