@@ -565,25 +565,33 @@ def _range_join(
     """,
     doc="Cohort retention: users grouped by first-seen day, distinct-active counts "
     "per (cohort, day-offset) cell — the standard product-analytics retention "
-    "triangle. First-seen rides a per-user window min (no self-join), so the whole "
-    "query is two shuffles: user_id, then the tiny (cohort, offset) key.",
+    "triangle. One user_id hash aggregate (min day + bounded day-set, map-side "
+    "partial) replaces the window-sort + second distinct exchange.",
 )
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle over event time.
 
-    Scale posture: the per-user ``min(ts)`` window replaces the usual
-    first-event self-join (one user_id shuffle instead of two plus a
-    join); the DISTINCT collapses per-(user, day) activity *before*
-    the final aggregate, so the last shuffle carries at most
-    users x active-days rows keyed by a small composite.
+    Scale posture (round-15 re-plan): the previous form shuffled the
+    FULL event-row set on user_id, sorted it for a ``min(ts)`` window,
+    then paid a second exchange for the (user, cohort, day) DISTINCT.
+    Both collapse into one ``groupBy(user_id)`` hash aggregate —
+    ``min(day)`` plus ``collect_set(day)`` — whose map-side partial
+    combine eats the per-user-day fan-in (max 11 / p99 6 events per
+    user-day) BEFORE the only user_id exchange, and the set explode
+    afterwards runs on the already-reduced per-user rows (the
+    candidate-expansion-on-the-small-side rule). Per-group state is
+    the distinct active-day set — bounded by the corpus date window
+    and strictly smaller than the per-user sort run the window form
+    held. Interleaved warm pairs at gen_sf10: faster in 4/4 reps,
+    1.42 -> 1.08 s; outputs exactly equal.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    w = Window.partitionBy("user_id")
-    act = ev.select(
-        "user_id",
-        F.date_trunc("day", F.min("ts").over(w)).alias("cohort_day"),
-        F.date_trunc("day", F.col("ts")).alias("act_day"),
-    ).distinct()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day"), F.collect_set("day").alias("days")
+    )
+    act = per_user.select("cohort_day", F.explode("days").alias("act_day"))
     return (
         act.groupBy("cohort_day", F.datediff("act_day", "cohort_day").cast("long").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
