@@ -182,11 +182,28 @@ def main() -> None:
         "note": "idle_vs_base_calibrated ~1.0 adjudicates the cur-record "
         "elevation as measurement-window noise on unchanged plans",
     }
+    # Append-preserving artifact: the file holds a LIST of adjudication
+    # records (round-15 second-session fix — the first writer replaced
+    # the committed r14-movers record wholesale, losing the machine-
+    # readable history VERDICT r14 #1 asked for). A legacy single-dict
+    # file is wrapped; a record for the same (sf_dir, base, cur) triple
+    # is superseded in place rather than duplicated.
     out = os.path.join(ROOT, "IDLE_REMEASURES.json")
+    records: list[dict] = []
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = json.load(f)
+        records = prev if isinstance(prev, list) else [prev]
+    key = (record["sf_dir"], record["base_record"], record["cur_record"])
+    records = [
+        r for r in records
+        if (r.get("sf_dir"), r.get("base_record"), r.get("cur_record")) != key
+    ]
+    records.append(record)
     with open(out, "w") as f:
-        json.dump(record, f, indent=1)
+        json.dump(records, f, indent=1)
         f.write("\n")
-    print(f"wrote {out}")
+    print(f"wrote {out} ({len(records)} records)")
 
 
 if __name__ == "__main__":

@@ -60,21 +60,31 @@ FLAG_NOTES = {
         "linear; the 14x ratio comes from a sub-linear sf0.1 baseline."
     ),
     "q3_shipping_priority": (
-        "a broadcast-threshold crossover, not super-linear growth: at "
-        "10x the filtered orders side outgrows the 64 MB broadcast "
-        "threshold and one BHJ becomes a SortMergeJoin (verified via "
-        "executedPlan: 2 BHJ/0 SMJ at sf0.1 vs 1 BHJ/1 SMJ at gen_sf1)"
-        ", step-changing shuffle bytes; within each join regime growth "
-        "is linear (6.0 -> 11.8 MB across 10x -> 30x), with a second "
-        "crossover at 100x when customer follows (601 MB ~= 0.6x "
-        "lineitem bytes). Wall stays sub-linear throughout: 1.4x at "
-        "10x, 3.6x at 30x, 6.2x at 100x rows. The same 100x crossover "
-        "signature appears across the dim-join TPC-H family "
-        "(q5/q9/q13/q18/join_star: shuffle steps from ~0 to ~0.3-1.1x "
-        "input as each dim outgrows 64 MB, wall ratios all <= 2.5x for "
-        "3.3x rows, zero spill). Exactly the transition a 100 TB plan "
-        "makes — at that scale you co-partition/bucket orders+lineitem "
-        "instead (README physical-design notes)."
+        "the round-15 dims-first re-plan (semi-prune orders by the "
+        "BUILDING segment before the fact exchange, pre-aggregate "
+        "lineitem per orderkey) cut the 100x shuffle 601 -> 197 MB "
+        "(3.1x); the flagged ratio is the q18 small-tier baseline "
+        "artifact — at sf0.1 map-side combine on the key-clustered "
+        "lineitem collapses the per-order partial-agg output to near "
+        "the key count (1.6 MB), while across the gen tiers growth is "
+        "linear in rows (11.7 -> 29.9 -> 62.8 -> 196.6 MB for "
+        "3/10/30/100x). Zero spill at every tier; the 100 TB answer "
+        "for the remaining orderkey exchange is the bucketed layout "
+        "(BUCKETED_BENCH.json)."
+    ),
+    "join_star": (
+        "same round-15 re-plan family and same small-tier baseline "
+        "artifact as q3: the ASIA restriction now flows dims-first so "
+        "orders is pruned ~5x before any fact exchange, and lineitem "
+        "partially aggregates per orderkey ahead of its only exchange "
+        "— 100x shuffle 1009 -> 376 MB (2.7x), wall 8.18 -> 5.06 s in "
+        "the audit context. Gen-tier growth 20.4 -> 47.9 -> 90.6 -> "
+        "375.7 MB for 3/10/30/100x tracks rows (the last step adds "
+        "the orders<->customer broadcast-threshold crossover, the "
+        "adjudicated self-correcting family); sf0.1's 2.1 MB baseline "
+        "under-counts for the same map-side-combine reason. Zero "
+        "spill; forced-broadcast exposure removed (the per-order side "
+        "is hinted shuffle_hash, plan-locked)."
     ),
 }
 
@@ -186,6 +196,31 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "r15_second_chain": (
+        "the second round-15 chain (run after the join_star/q3/"
+        "events_retention shuffle re-plans) landed with the in-chain "
+        "window family active: its sf0.1 record read 16.42 s headline "
+        "at the SAME anchor as r15a's 14.825 with a broad 1.1-1.35x "
+        "elevation on untouched sub-second queries — re-run quiet "
+        "immediately after, it came back at 14.818 s / anchor 0.992 "
+        "(par with r15a), and the committed sf0.1 record IS the quiet "
+        "run. gen_sf10 read +0.2-0.6 s on ~8 untouched plans; a quiet "
+        "re-run there came back SLOWER still (46.8 s headline at par "
+        "anchor — host-window drift the CPU anchor does not capture), "
+        "so the chain record was kept and the movers adjudicated idle "
+        "instead (IDLE_REMEASURES.json second record, r15a base vs "
+        "r15b cur): every untouched mover idles at 0.86-1.00x of "
+        "r15a (dedup_simhash 1.004x, similarity_ann_lsh 0.952x, "
+        "window_range_frame 0.855x, events_asof_join 0.969x, "
+        "dedup_ngram_jaccard 0.965x) — window noise, no plan changed. "
+        "The re-planned queries: events_retention idles 0.272x "
+        "(3.10 -> 0.87 s, shuffle 119 -> 8 MB), join_star 0.624x "
+        "(4.79 -> 3.10 s, shuffle 1009 -> 376 MB), q3 1.036x — PAR on "
+        "local wall (interleaved old-vs-new min 2.995 vs 2.867 over 5 "
+        "pairs); its re-plan win is the 3.1x shuffle cut (601 -> 197 "
+        "MB) plus removing the forced corpus-scaling broadcast, which "
+        "is the 100 TB argument, not the local[32] one."
+    ),
     "r15_rebaseline": (
         "the round-15 chain re-baselined the two records VERDICT r14 #1 "
         "named: gen_sf0.3 reads 0.854x headline / 0.860x extended "
@@ -718,13 +753,19 @@ def _idle_remeasure_section() -> list[str]:
     IDLE_REMEASURES.json (scripts/idle_remeasure.py — round-15 VERDICT
     #1/#2: the idle values that adjudicate elevated committed records
     must live in a committed artifact, not prose)."""
-    ir = _load("IDLE_REMEASURES.json")
-    if not ir:
+    loaded = _load("IDLE_REMEASURES.json")
+    if not loaded:
         return []
+    records = loaded if isinstance(loaded, list) else [loaded]
+    lines = ["## Idle re-measure adjudication (machine-readable)", ""]
+    for ir in records:
+        lines += _idle_remeasure_record(ir)
+    return lines
+
+
+def _idle_remeasure_record(ir: dict) -> list[str]:
     has_chain = bool(ir.get("chain_record"))
     lines = [
-        "## Idle re-measure adjudication (machine-readable)",
-        "",
         f"The biggest calibrated per-query movers of `{ir['cur_record']}`"
         f" vs `{ir['base_record']}`, re-measured idle (page-cache warm,"
         f" session-shape pre-pass, min-of-{ir['runs_per_query']}, own CPU"
