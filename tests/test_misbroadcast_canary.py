@@ -53,8 +53,9 @@ RAW_OK_AT_FIXTURE_SCALE = {
     "q10_returned_items": "same orders crossover family",
     "q18_large_volume": "same orders crossover family",
     "q21_sole_late_supplier": "same orders crossover family (the flagged-pipeline join)",
-    "dedup_embedding_lsh": "embeddings tiny at fixture; sqrt(N) codebook side at scale "
-    "(reduced, not raw, in the gen_sf10 audit)",
+    # dedup_embedding_lsh RETIRED round 15: the grouped numpy-kernel
+    # re-plan has no joins at all (one bucket exchange + mapInPandas),
+    # so nothing can broadcast.
 }
 
 #: Queries with a REDUCED fact broadcast (filtered/aggregated before

@@ -121,6 +121,23 @@ def test_lsh_bucket_assign_has_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_embedding_lsh_dedup_single_exchange_no_joins(spark):
+    """Round-15 re-plan: each vector crosses the wire exactly once —
+    the bucket groupBy is the ONLY exchange, and there are no join
+    operators at all (the old shape pair-joined the vectors twice,
+    1705 MB of shuffle at the 100x tier). The pairwise cosine runs in
+    the mapInPandas numpy kernel (contract-pinned in
+    tests/test_lsh_pair_kernel_contract.py)."""
+    plan = _formatted_plan(spark, "dedup_embedding_lsh")
+    # one Exchange node = tree + detail mentions; tolerate AQE's
+    # re-listing but never a second distinct exchange id.
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_ngram_jaccard_scans_documents_once(spark):
     """The jaccard pipeline is a single linear dataflow (round-2
     re-plan): a second documents scan means a consumer re-evaluates the
