@@ -1025,13 +1025,23 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments (real corpora would split on newlines instead; the
     dataflow is identical).
 
-    Pipeline: chunk map-side (one projection, no shuffle) -> corpus
-    document-frequency per segment fingerprint (shuffle moves 16-byte
-    md5 keys + ids, never segment text — same posture as
-    ``dedup_exact_hash``) -> join the df back to the per-doc postings
-    and re-aggregate per doc. At 100 TB both shuffles key on
-    high-cardinality fingerprints so AQE can split any hot boilerplate
-    segment; the output is one row per document (ids + counters only).
+    Pipeline (round-15 re-plan): chunk map-side (one projection, no
+    shuffle) -> ONE exchange on the segment fingerprint computing the
+    corpus document-frequency as two windows over the same fp
+    clustering (lag marks each fp's first row per doc_id, a sum window
+    totals the marks == countDistinct) -> re-aggregate per doc. The
+    previous groupBy(fp)+join-back shape hit the exact pathology the
+    dedup_ngram_jaccard adjudication measured: map-side partial
+    aggregation makes the two fp exchanges non-identical, ReuseExchange
+    never fires, and the whole chunk+md5 subplan evaluates TWICE —
+    13.5 -> 4.25 s min-of-4 interleaved warm at gen_sf10, outputs
+    exactly equal (exceptAll = 0 both directions over all 500k rows).
+    Same q21-precedent justification: the windows run on the
+    clustering the old join exchange already required, the sort-based
+    window spills gracefully on a hot boilerplate fp (where a
+    collect_set hash-agg would OOM), and the join disappears. Shuffle
+    moves 16-byte md5 keys + ids, never segment text; the output is
+    one row per document (ids + counters only).
 
     Extension op (no reference analogue: the reference never inspects
     document content — SURVEY.md §2b/§2c).
@@ -1057,9 +1067,17 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("seg_arr").alias("seg_len"),
         )
     )
-    freq = segs.groupBy("fp").agg(F.countDistinct("doc_id").alias("df"))
+    w_ord = Window.partitionBy("fp").orderBy("doc_id")
+    w_fp = Window.partitionBy("fp")
+    marked = segs.withColumn(
+        "is_new",
+        (
+            F.lag("doc_id").over(w_ord).isNull()
+            | (F.col("doc_id") != F.lag("doc_id").over(w_ord))
+        ).cast("long"),
+    )
     return (
-        segs.join(freq, "fp")
+        marked.withColumn("df", F.sum("is_new").over(w_fp))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),

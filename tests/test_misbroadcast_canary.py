@@ -86,7 +86,8 @@ REDUCED_OK = {
     # 100x wall — 5.6M strings, corpus-scaling in this synthetic — and
     # is now a per-task shuffle_hash build; no broadcast remains)
     "dedup_against_corpus": "stored band index; docstring names the pre-bucketed scale path",
-    "dedup_segments": "df-capped segment posting lists",
+    # dedup_segments RETIRED round 15: the window-on-fp re-plan has no
+    # join (one fp exchange, lag+sum windows), so nothing can broadcast.
     # per-user aggregates — flips to shuffle as estimates grow; the
     # measured scale answer is the bucketed user_id layout
     "events_funnel": "per-user aggregate (bucketed layout: 9 -> 0 exchanges)",

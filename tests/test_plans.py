@@ -148,6 +148,19 @@ def test_ngram_jaccard_scans_documents_once(spark):
     assert plan.count("documents.parquet") <= 2
 
 
+def test_segment_dedup_scans_documents_once_no_join(spark):
+    """Round-15 re-plan: the segment df is two windows over ONE fp
+    exchange (lag-marks-first + sum), not a groupBy+join-back — the
+    join-back shape re-evaluated the whole chunk+md5 subplan (partial
+    aggregation defeats ReuseExchange, the ngram adjudication's
+    measured pathology; 13.5 -> 4.25 s at gen_sf10). A second
+    documents scan or any join operator is a regression."""
+    plan = _formatted_plan(spark, "dedup_segments")
+    assert plan.count("documents.parquet") <= 2, plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert join not in plan, plan
+
+
 def test_range_join_keys_include_time_bucket(spark):
     """The events range join must carry (user_id, bkt) as equi-join
     keys — losing the bucket reverts to one-join-group-per-user-
