@@ -584,37 +584,66 @@ _SIMHASH_ORACLE = f"""
 """
 
 
+def _simhash_batches():
+    """mapInPandas body for :func:`dedup_simhash` — module-level so the
+    kernel contract is unit-testable without a cluster
+    (tests/test_simhash_kernel_contract.py). All-integer arithmetic,
+    bit-identical to the Catalyst fold it replaced: per bit j,
+    ``ones_j = popcount over tokens of bit j`` and the signed counter
+    of the SimHash definition is ``2*ones_j - T``, so bit j is set iff
+    ``2*ones_j > T``. Empty Arrow batches are skipped (the PQ-kernel
+    precedent: an upstream filter may emit one and it would reach
+    np.concatenate as a malformed input)."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = np.fromiter((len(a) for a in pdf["th"]), np.int64, len(pdf))
+            flat = np.concatenate([np.asarray(a, np.int64) for a in pdf["th"]])
+            starts = np.zeros(lens.size, np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sim = np.zeros(lens.size, np.int64)
+            for j in range(SIMHASH_BITS):
+                ones = np.add.reduceat((flat >> j) & 1, starts)
+                sim |= (ones * 2 > lens).astype(np.int64) << j
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(np.int64), "simhash": sim})
+
+    return fold
+
+
 @register(
     "dedup_simhash",
     oracle=_SIMHASH_ORACLE,
     doc=f"{SIMHASH_BITS}-bit SimHash signature per document (near-dups collide).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Map-side only: per row, fold the md5-hash array once per bit —
-    # no explode, no shuffle anywhere in the whole plan.
+    """Map-side only: tokenize+md5 in codegen, then ONE Arrow-batched
+    numpy pass folds the hash array into the 32-bit signature — no
+    explode, no shuffle anywhere in the whole plan.
+
+    PERF (round 15): the previous Catalyst form folded the token-hash
+    array through a 32-long accumulator via ``aggregate``+``zip_with``
+    +``bit_get`` — 32 lambda evaluations and a fresh 32-element array
+    allocation per TOKEN. That is the dense fixed-shape integer kernel
+    the PQ-encode precedent flagged (guide §4.2: hand whole batches to
+    numpy; CLAUDE.md: higher-order folds pay ~17x on dense kernels).
+    Subtree attribution at gen_sf10 (warm, min-of-3, noop sink):
+    scan+distinct_tokens+md5 1.46 s, full Catalyst query 4.00 s — the
+    fold alone was ~2.5 s. The numpy swap (32 vectorized shift/mask
+    passes + np.add.reduceat per doc-segment) removes it; md5 hashing
+    stays in the JVM so only (doc_id, array<long>) crosses the Arrow
+    boundary, the columns the kernel needs and nothing else (§4.1).
+    Bit-parity: integers end to end, verified value-for-value against
+    the old fold at gen_sf10 before shipping; contract pinned in
+    tests/test_simhash_kernel_contract.py.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", distinct_tokens("text").alias("t")).filter(F.size("t") > 0)
     th = toks.select("doc_id", F.transform("t", md5_long60).alias("th"))
-    # ONE fold over the token-hash array: the accumulator is an array
-    # of 32 bit-counters updated via zip_with + bit_get (bit_get takes
-    # a Column position, unlike shiftright; double division would lose
-    # low bits of the 60-bit hash). The previous 32-separate-folds
-    # variant was ~5x slower: repeated array traversals + a giant
-    # codegen tree.
-    positions = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
-    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(SIMHASH_BITS)])
-    counts = F.aggregate(
-        "th",
-        zero,
-        lambda acc, h: F.zip_with(acc, positions, lambda a, j: a + F.bit_get(h, j) * 2 - 1),
-    )
-    simhash = F.aggregate(
-        F.zip_with(counts, pows, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    return th.select("doc_id", simhash.alias("simhash"))
+    return th.mapInPandas(_simhash_batches(), "doc_id long, simhash long")
 
 
 MINHASH_VERIFY_TAU = 0.8

@@ -473,6 +473,24 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc. Selecting by min VALUE (window position discarded, picks
     deduplicated) is the set-fingerprint form used for containment
     checks; positional variants add the offset column.
+
+    PERF (round 15): the window fold was a Catalyst
+    ``transform(sequence(...), i -> array_min(slice(hs, i, W)))`` —
+    per k-gram, a fresh W-element array allocation plus W+2 lambda
+    evaluations, then ``array_distinct`` re-walks the result. Subtree
+    attribution at gen_sf10 (warm, min-of-3, noop sink): scan+shingles
+    +md5 2.40 s, full Catalyst query 6.53 s — the fold+distinct alone
+    was ~4.1 s, the dense fixed-shape integer kernel class (guide
+    §4.2; the PQ-encode precedent). Now an Arrow-batched numpy pass
+    (``_winnow_batches``: sliding_window_view min + np.unique per doc)
+    replaces fold+distinct+explode; md5 stays in the JVM so only
+    (doc_id, array<long>) crosses the boundary. Bit-parity: integers
+    end to end; np.unique emits the same VALUE SET as array_distinct
+    (order differs — both the driver hash and the oracle harness are
+    order-insensitive); verified exceptAll-equal both ways at gen_sf10
+    before shipping; contract pinned in
+    tests/test_winnow_kernel_contract.py. Still zero shuffle
+    (plan-locked in test_plans.py).
     """
     from rust_etl_spark.functions.hashing import md5_long60
     from rust_etl_spark.functions.textfns import word_shingles
@@ -483,12 +501,38 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word_shingles PERF note: no CSE across lambda re-evaluations).
     grams = toks.select("doc_id", word_shingles(F.col("t"), WINNOW_K).alias("g"))
     hashed = grams.select("doc_id", F.transform("g", md5_long60).alias("hs"))
-    idx = F.when(
-        F.size("hs") >= WINNOW_W,
-        F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(idx, lambda i: F.array_min(F.slice("hs", i, WINNOW_W)))
-    return hashed.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    return hashed.mapInPandas(_winnow_batches(), "doc_id long, fp long")
+
+
+def _winnow_batches():
+    """mapInPandas body for :func:`doc_winnow` — module-level so the
+    kernel contract is unit-testable without a cluster
+    (tests/test_winnow_kernel_contract.py). Docs with fewer than
+    WINNOW_W k-gram hashes emit no rows (the Catalyst form's empty
+    index array); empty Arrow batches are skipped (PQ precedent)."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def fold(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, fps = [], []
+            for doc_id, hs in zip(pdf["doc_id"].to_numpy(np.int64), pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64)
+                if h.size < WINNOW_W:
+                    continue
+                mins = sliding_window_view(h, WINNOW_W).min(axis=1)
+                u = np.unique(mins)
+                ids.append(np.full(u.size, doc_id, dtype=np.int64))
+                fps.append(u)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
+                )
+
+    return fold
 
 
 # ----------------------------------------------------- corpus n-grams
