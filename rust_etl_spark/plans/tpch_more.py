@@ -407,6 +407,28 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (170286033.175 summing to either side of the half), the failure
     class CLAUDE.md predicted for round(sum(double)). The only float
     ops left are two IEEE steps on the same BIGINT — bit-identical.
+
+    PERF (round 15, guide §2.3 "shuffle fewer bytes"): the previous
+    shape shipped SIX payload columns of every red-part lineitem row
+    through the orderkey exchange (suppkey, quantity, price,
+    discount, retailprice) and computed the profit integer only after
+    the orders join. All broadcast dims (part, supplier) attach
+    BEFORE that exchange, so the per-row profit integer is computable
+    pre-shuffle: project each row to (l_orderkey, s_nationkey,
+    profit_cents) — three longs — ahead of the exchange; nation (25
+    rows) joins AFTER the final aggregate at result grain. BIGINT
+    sums reassociate exactly, so the grouped total is bit-identical.
+    A (l_orderkey, s_nationkey) PRE-aggregate was measured and
+    REJECTED: its group keys differ from the join key, so it adds a
+    second fact exchange (405 MB total, worse than the 366 MB
+    baseline), and a repartition(l_orderkey)-fused variant measured
+    byte-identical to the plain narrow projection (duplicate
+    (order, nation) pairs are too rare to pay for). The orders join
+    is hinted shuffle_hash on the narrow side (the q3 precedent:
+    Catalyst must never broadcast a corpus-scaling projection; SMJ
+    stays the spill-safe fallback). gen_sf10, interleaved A/B:
+    shuffle 366 -> 284 MB, wall par (4.44 vs 4.35 min-of-3);
+    outputs exactly equal.
     """
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
         "p_partkey", "p_retailprice"
@@ -417,26 +439,28 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    return (
+    profit_cents = (
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        * (100 - F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"))
+        - 20
+        * F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+        * F.col("l_quantity").cast("long")
+    )
+    narrow = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(ord_, li.l_orderkey == ord_.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "s_nationkey", profit_cents.alias("pc"))
+    )
+    return (
+        narrow.hint("shuffle_hash")
+        .join(ord_, narrow.l_orderkey == ord_.o_orderkey)
         .groupBy(
-            F.col("n_name").alias("nation"),
+            F.col("s_nationkey"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(
-            F.sum(
-                F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
-                * (100 - F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"))
-                - 20
-                * F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
-                * F.col("l_quantity").cast("long")
-            )
-            .cast("long")
-            .alias("profit_scaled")
-        )
+        .agg(F.sum("pc").cast("long").alias("profit_scaled"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("nation", F.col("n_name"))
         .select(
             "nation",
             "o_year",
