@@ -159,6 +159,19 @@ def write_range_partitioned(
     )
 
 
+def _morton_spread(x):
+    """Spread the low 32 bits of a long so bit j lands at position 2j —
+    the classic 2D Morton mask-shift chain (5 shift/or/and steps)."""
+    from pyspark.sql import functions as F
+
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF).cast("long"))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF).cast("long"))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F).cast("long"))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333333333333333).cast("long"))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555555555555555).cast("long"))
+    return x
+
+
 def zorder_key(a, b, bits: int = 16):
     """Z-order (Morton) key: interleave the low ``bits`` of two integer
     columns — a JVM-side expression, no UDF.
@@ -169,17 +182,26 @@ def zorder_key(a, b, bits: int = 16):
     This is the data-layout lever for multi-dimensional pruning at
     100 TB (the same idea Delta/Iceberg expose as OPTIMIZE ZORDER BY),
     implemented here as write-time sort for plain parquet.
+
+    PERF (round 15): the original form summed ``2 * bits`` per-bit
+    ``bit_get(col, j) * 2^k`` terms (63-op expression tree at the
+    shipped bits=21); the mask-shift Morton spread does the identical
+    interleave in 5 shift/or/and steps per column. Verified
+    bit-identical over all 60M gen_sf10 lineitem rows AND 10k random
+    signed longs (both forms read only the masked low bits);
+    zorder_order measured 2.11 -> 0.82 s interleaved warm min at
+    gen_sf10. The DuckDB oracle mirror (layout.morton_duckdb) is
+    value-stable so it needs no change. bits <= 16 interleaves
+    losslessly into the 32 even/odd positions each side uses; the
+    assert allows up to 32 because the spread masks to 32 bits.
     """
     from pyspark.sql import functions as F
 
-    z = None
-    for j in range(bits):
-        # Column has no << operator; multiply by the literal power of two.
-        pair = F.bit_get(a, F.lit(j)) * F.lit(1 << (2 * j)).cast("long") + F.bit_get(
-            b, F.lit(j)
-        ) * F.lit(1 << (2 * j + 1)).cast("long")
-        z = pair if z is None else z + pair
-    return z.cast("long")
+    assert bits <= 32, "spread chain interleaves at most the low 32 bits per column"
+    mask = F.lit((1 << bits) - 1).cast("long")
+    sa = _morton_spread(a.cast("long").bitwiseAND(mask))
+    sb = _morton_spread(b.cast("long").bitwiseAND(mask))
+    return sa.bitwiseOR(F.shiftleft(sb, 1)).cast("long")
 
 
 def write_zordered(
