@@ -296,40 +296,59 @@ def lsh_buckets(
     (floor(dp * 1e6 + 0.5)) before the sign test, mirroring the SQL
     oracle, so summation-order FP noise cannot flip a bit and the
     quantize step itself cannot diverge across engines.
+
+    PERF (round 15): the Catalyst single-fold form (zip_with over dims
+    x transform over planes) evaluated N_DIMS x n_planes = 512 lambdas
+    and allocated an 8-double array per DIMENSION per row — the dense
+    fixed-shape FP kernel class (guide §4.2; the PQ-encode precedent).
+    Now an Arrow-batched numpy pass (``_lsh_bucket_batches``): one
+    dimension-ASCENDING loop of elementwise multiply-adds — the same
+    left-to-right association as the fold, so every dot product is
+    bit-identical (IEEE * is commutative bitwise, + association
+    preserved) — then the same floor sign test. Bucket assembly is a
+    sum of distinct powers of two in int64 (exact in any order).
+    Verified exceptAll-equal at gen_sf10 for all three consumers;
+    contract pinned in tests/test_lsh_bucket_kernel_contract.py.
     """
-    v = to_double_array("embedding")
     planes = _plane_weights(n_planes)
-    # ONE fold with an n_planes-wide accumulator (the dedup_simhash
-    # lesson: per-plane separate folds re-traverse the vector and blow
-    # up the codegen tree). Literal layout is transposed to
-    # per-dimension weight rows so zip_with walks the embedding once.
-    # (A fully-unrolled 512-term scalar expression executes faster per
-    # row but costs ~2 s of driver-side analysis + codegen per plan
-    # build — the wrong trade at bench scale and irrelevant at cluster
-    # scale where the fold is also fine.) Dots round to 6 digits before
-    # the sign test, mirroring the SQL oracle, summation order d
-    # ascending on both engines' shuffle-free forms.
-    w_by_dim = F.array(
-        *[F.array(*[F.lit(planes[i][d]) for i in range(n_planes)]) for d in range(N_DIMS)]
+    schema = "vec_id long, bucket long" + (", v array<double>" if keep_vector else "")
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _lsh_bucket_batches(planes, n_planes, keep_vector), schema
     )
-    zero = F.array(*[F.lit(0.0) for _ in range(n_planes)])
-    contrib = F.zip_with(v, w_by_dim, lambda x, ws: F.transform(ws, lambda w: w * x))
-    dots = F.aggregate(contrib, zero, lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b))
-    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
-    bucket = F.aggregate(
-        F.zip_with(
-            dots, pows,
-            lambda dp, p: F.when(F.floor(dp * F.lit(1e6) + F.lit(0.5)) > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    if keep_vector:
-        # single-pass variant for consumers that need the vector next
-        # to its bucket (dedup_embedding_lsh's grouped numpy kernel) —
-        # avoids a vec_id join that would re-shuffle the vectors.
-        return emb.select("vec_id", bucket.alias("bucket"), v.alias("v"))
-    return emb.select("vec_id", bucket.alias("bucket"))
+
+
+def _lsh_bucket_batches(planes, n_planes: int, keep_vector: bool):
+    """mapInPandas body for :func:`lsh_buckets` — module-level so the
+    kernel contract is unit-testable without a cluster. Conventions
+    that keep it bit-identical to the retired Catalyst fold (and the
+    SQL oracle): (1) the dot accumulates with an explicit
+    dimension-ascending loop of elementwise ``acc + (x * w)`` — never
+    np.dot/np.sum (pairwise reduction reassociates); (2) the sign test
+    is ``floor(dp * 1e6 + 0.5) > 0`` exactly; (3) keep_vector emits
+    the float64-cast vector (same cast as to_double_array). Empty
+    Arrow batches are skipped (PQ precedent)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, N_DIMS)
+    pows = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            acc = np.zeros((len(pdf), n_planes), dtype=np.float64)
+            for d in range(X.shape[1]):
+                acc += X[:, d, None] * P[None, :, d]
+            q = np.floor(acc * 1e6 + 0.5)
+            bucket = ((q > 0).astype(np.int64) * pows).sum(axis=1)
+            out = {"vec_id": pdf["vec_id"].to_numpy(np.int64), "bucket": bucket}
+            if keep_vector:
+                out["v"] = list(X)
+            yield pd.DataFrame(out)
+
+    return assign
 
 
 @register(
@@ -379,7 +398,15 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutting plane happened to separate from the query."""
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(spark, emb)
-    qb = buckets.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("bucket").alias("qbucket"))
+    # The query bucket comes from a SINGLE-ROW kernel pass over the
+    # pre-filtered scan (round 15): the bucket function is per-row, so
+    # filtering before lsh_buckets is value-identical, and the vec_id
+    # predicate reaches the parquet scan — with the filter ABOVE the
+    # opaque mapInPandas the qb branch would re-run the kernel over
+    # the whole table (guide §4.2: opaque functions defeat pushdown).
+    qb = lsh_buckets(spark, emb.filter(F.col("vec_id") == QUERY_VEC_ID)).select(
+        F.col("bucket").alias("qbucket")
+    )
     probes = qb.select(
         F.explode(
             F.array(
