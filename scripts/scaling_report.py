@@ -196,6 +196,27 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "r15_optimization_chain": (
+        "the third round-15 chain ran on the optimization-round HEAD "
+        "(7 re-plans + 5 expression/kernel swaps; OPTIMIZATION_r15.md) "
+        "after a sandbox reset regenerated every gen tier from the "
+        "same seed. sf0.1: headline 14.818 -> 12.432 s, extended "
+        "24.412 s, at the IDENTICAL anchor 0.992 — zero >1.5x "
+        "untouched movers. gen_sf10: headline 43.49 -> 40.63 s, "
+        "extended 95.32 -> 87.18 s at par anchors (1.01/1.011); the "
+        "optimized queries landed at their A/B-predicted values "
+        "(events_ewma 8.82 -> 1.63, dedup_simhash 3.90 -> 1.95, "
+        "similarity_ann_lsh 2.92 -> 1.64, zorder_order 2.67 -> 0.83, "
+        "q9 3.48 -> 2.56, doc_winnow audit 10.3 -> ~3.4). ONE >1.5x "
+        "untouched mover: groupby_agg 1.165 -> 1.802 (spread-prone "
+        "sub-2s query); idle re-measure (IDLE_REMEASURES.json third "
+        "record, min-of-5 warm, spread 0.479) reads 1.257 s = 1.05x "
+        "calibrated vs the r15b base — chain-window noise, closed. "
+        "Deep misbroadcast audit re-run on this HEAD: 0 raw across "
+        "all 87; the dedup_segments and dedup_embedding_lsh reduced "
+        "flags RETIRED (their re-plans have no joins left to "
+        "broadcast)."
+    ),
     "r15_second_chain": (
         "the second round-15 chain (run after the join_star/q3/"
         "events_retention shuffle re-plans) landed with the in-chain "
