@@ -90,11 +90,23 @@ FAMILIES = [
     {
         "family": "events_user",
         "facts": {"events": ("user_id", ["user_id", "ts_ns", "event_id"])},
-        # all three shuffle user_id first: sessionize (window + session
+        # all shuffle user_id first: sessionize (window + session
         # agg), funnel (three per-user conditional-min stages), retention
-        # (per-user first-seen window); their remaining small exchanges
+        # (per-user first-seen aggregate); their remaining small exchanges
         # (cohort/final rollups) are not on the bucket key by design.
-        "queries": ["events_sessionize", "events_funnel", "events_retention"],
+        # Round 15 extends the measured set with the family's two
+        # largest remaining PURE-events exchanges (scale audit at 100x:
+        # interval_merge 245 MB, ewma 204 MB) — user_id-window queries
+        # whose only fact exchange the bucket clustering removes
+        # outright. events_asof_join (419 MB, the catalog's biggest
+        # event shuffle) is deliberately NOT in the family: it unions
+        # events with an orders projection before its window, and a
+        # Union has unknown output partitioning, so the window
+        # re-exchanges regardless of the events bucketing — a bucketed
+        # layout cannot help that shape (measured reasoning, see
+        # OPTIMIZATION_r15.md).
+        "queries": ["events_sessionize", "events_funnel", "events_retention",
+                    "events_ewma", "events_interval_merge"],
         "tiers": ["gen_sf1", "gen_sf3", "gen_sf10"],
     },
 ]

@@ -322,7 +322,18 @@ def test_user_bucketed_window_sort_elimination(spark, bucketed_events):
         spark.conf.unset(key)
 
 
-@pytest.mark.parametrize("name", ["events_sessionize", "events_funnel"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_sessionize",
+        "events_funnel",
+        # round 15: the family's two largest pure-events exchanges,
+        # added to the measured bucketed set (see
+        # scripts/bucketed_layout_bench.py FAMILIES note).
+        "events_ewma",
+        "events_interval_merge",
+    ],
+)
 def test_shipped_events_queries_drop_exchanges_with_layout(
     spark, bucketed_events, no_broadcast, name
 ):
