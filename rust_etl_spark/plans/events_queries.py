@@ -219,30 +219,53 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)) AS last_order_us
         FROM events e
     """,
-    doc="As-of join (latest order at-or-before each event, per user) via the union-then-window "
-    "pattern: one shuffle on the key, no per-row probe; DuckDB oracle uses a correlated max.",
+    doc="As-of join (latest order at-or-before each event, per user) via a per-user "
+    "order-times array join: orders collapse to one array row per user before the "
+    "only fact-side join; each event takes array_max of the <= t_us elements. "
+    "DuckDB oracle uses a correlated max.",
 )
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order at-or-before each event, per user.
+
+    Round-16 re-plan (guide §2.3/§2.4): the prior union-then-window
+    form shuffled BOTH fact projections through one user_id exchange —
+    events padded to 5 columns (null event_id / is_order flag / a
+    window-ordering duplicate of t_us) plus every order row — then
+    paid a full (events + orders) window sort. Orders per user are
+    bounded (gen_sf10: max 24, avg 10), so the orders side collapses
+    to ONE array row per user (collect_list partially aggregates
+    map-side) and joins the 3-column events projection; per event the
+    answer is array_max(filter(arr, x <= t_us)) — max of an empty
+    filter is NULL, matching the correlated-max oracle for events
+    with no prior order. `shuffle_hash` on the bounded arrays side
+    (per-partition build; never a corpus-scaling broadcast) keeps the
+    events side sort-free. Measured at gen_sf10: shuffle 419.7 ->
+    272.4 MB (-35%), interleaved warm min-of-4 wall 3.43 -> 2.41 s;
+    sf0.1 min-of-5: 0.391 -> 0.282 s; outputs exceptAll-equal both
+    ways at both tiers. The union form's "a Union has unknown output
+    partitioning" dead-end (OPTIMIZATION_r15.md) is retired with the
+    union itself: the events arm of THIS shape rides a user_id-
+    bucketed layout exchange-free (BUCKETED_BENCH events_user family).
+    """
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts_ns div 1000").alias("t_us"), "event_id", F.lit(0).alias("is_order")
+        "user_id", F.expr("ts_ns div 1000").alias("t_us"), "event_id"
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        ntz_epoch_us("o_orderdate").alias("t_us"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(1).alias("is_order"),
+    arrs = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            ntz_epoch_us("o_orderdate").alias("o_us"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_list("o_us").alias("o_arr"))
     )
-    # Order rows sort before event rows at equal t_us => '<=' semantics.
-    both = orders.unionByName(ev)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("t_us"), F.col("is_order").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.join(arrs.hint("shuffle_hash"), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        F.array_max(F.filter(F.col("o_arr"), lambda x: x <= F.col("t_us"))).alias(
+            "last_order_us"
+        ),
     )
-    enriched = both.withColumn(
-        "last_order_us", F.max(F.when(F.col("is_order") == 1, F.col("t_us"))).over(w)
-    )
-    return enriched.filter(F.col("is_order") == 0).select("event_id", "user_id", "last_order_us")
 
 
 @register(

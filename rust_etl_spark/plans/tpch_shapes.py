@@ -581,34 +581,48 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The classic plan self-joins lineitem twice (EXISTS + NOT EXISTS).
     At 100 TB that is two extra shuffles of the largest table. This
     formulation aggregates once per (order, supplier) with a late
-    flag, then computes the per-order supplier/late counts with a
-    WINDOW over l_orderkey in the same pipeline, then filters —
-    identical semantics (a supplier is "waiting" iff it is late and
-    the order's only late supplier among >1 suppliers). The supplier
-    dim broadcasts.
+    flag, then collapses the per-order supplier/late counts AND the
+    sole late supplier's key into a second hash aggregate over the
+    SAME orderkey clustering, then filters — identical semantics (a
+    supplier is "waiting" iff it is late and the order's only late
+    supplier among >1 suppliers; when n_late == 1 that supplier's key
+    is max(when(is_late=1, suppkey))). The supplier dim broadcasts.
 
-    Round-12 re-plan (the round's second worst-query treatment): the
-    round-6 form computed per-order counts as a separate groupBy then
-    JOINED it back to flagged — and the executed plan showed the
-    entire lineitem-join-orders-aggregate subtree EXECUTING TWICE
-    (distinct expression IDs across the self-join branches defeat
-    ReusedExchange: both fact scans, both join exchanges, and the
-    (order, supplier) aggregate all ran once per branch — profiled as
-    the bulk of the 10.4 s wall at the 100x tier). The window form
-    computes the same two aggregates over the SAME hash-partitioned
-    output the join exchange already produced — EnsureRequirements
-    inserts only a local sort, no exchange, and the self-join
-    disappears: one lineitem scan, one orders scan, one big SMJ.
-    Measured same-session old-vs-new at the 100x tier: 11.41 ->
-    6.37 s min-of-4 warm (1.8x; the remaining wall is the two
-    fact-side join shuffles both forms pay once), outputs verified
-    EXACTLY equal (exceptAll both directions = 0). This does NOT violate the no-window-argmin rule
-    (CLAUDE.md): that rule bans windows that shuffle a PRE-aggregate
-    row set a min(struct) could map-side combine; this window's input
-    is already the post-aggregate (order, supplier) grain it must be,
-    the partition key is bounded (suppliers per order, p99 single
-    digits), and the window REPLACES a shuffle join instead of adding
-    an exchange.
+    Round-16 re-plan (guide §1.2 step 2 / §3.1): the round-12 window
+    form was at the SHUFFLE floor (measured: every variant pays the
+    same 1070 MB at gen_sf10 — lineitem and orders each cross their
+    orderkey exchange exactly once) but paid THREE large sorts per
+    run: SMJ sorted both fact sides (60M + 15M rows) and the window
+    re-sorted all ~60M pair-grain rows a third time, because the
+    intervening hash aggregate destroys the SMJ output order. Two
+    changes remove all three: (a) `shuffle_hash` hint on the orders
+    side (per-partition build ≈ post-AQE partition bytes, bounded;
+    SMJ stays the spill-safe fallback) kills both join sorts, and
+    (b) the window becomes a second HashAggregate keyed l_orderkey —
+    hash(l_orderkey) from the join exchange satisfies both aggregates'
+    clustering, so no new exchange and no sort. Measured interleaved
+    warm min-of-4 at gen_sf10: 9.27 -> 7.96 s (wins 3/4 pairs; bytes
+    identical 1069.8 vs 1069.9 MB — the win is pure sort removal);
+    sf0.1 min-of-5: 1.10 -> 0.58 s. Outputs exceptAll-equal both ways
+    at both tiers. VERDICT r15 lever (a) — pre-aggregating lineitem to
+    (ok, sk, max_ship) BEFORE the orders join — was measured and
+    REJECTED: the fixture's (orderkey, suppkey) duplication ratio is
+    1.002 (59.88M distinct pairs / 60M rows, DuckDB), so map-side
+    combine has nothing to eat, and the pre-agg's own (ok, sk)
+    exchange no longer satisfies the join's hash(ok) requirement —
+    the pair rows cross TWICE (interleaved min-of-4: 11.64 s vs the
+    window form's 9.27).
+
+    History — round-12 re-plan: the round-6 form computed per-order
+    counts as a separate groupBy then JOINED it back to flagged — and
+    the executed plan showed the entire
+    lineitem-join-orders-aggregate subtree EXECUTING TWICE (distinct
+    expression IDs across the self-join branches defeat
+    ReusedExchange). The round-12 window form computed the same two
+    aggregates over the join exchange's partitioning (11.41 ->
+    6.37 s min-of-4 warm at the 100x tier); round 16 keeps that
+    clustering-reuse insight and swaps the window for the cheaper
+    hash aggregate above.
 
     Shuffle accounting (round-6 numbers, still the relevant
     comparison): the groupBy/join form wrote 188 MB at the 10x tier
@@ -622,15 +636,13 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist, so "late" is ship-lag (l_shipdate - o_orderdate) beyond a
     threshold (reference has no such query; extension surface).
     """
-    from pyspark.sql.window import Window
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     flagged = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -640,17 +652,18 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    wo = Window.partitionBy("l_orderkey")
+    # Second aggregate reuses the join exchange's hash(l_orderkey)
+    # clustering (group key is a superset-compatible subset): no new
+    # exchange, no sort. When n_late == 1, max(when(is_late=1, sk))
+    # IS the sole late supplier's key.
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
     return (
-        flagged.select(
-            "l_orderkey",
-            "l_suppkey",
-            "is_late",
-            F.count(F.lit(1)).over(wo).alias("n_supp"),
-            F.sum("is_late").over(wo).alias("n_late"),
-        )
-        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -54,7 +54,9 @@ RAW_OK_AT_FIXTURE_SCALE = {
     # never broadcast even at fixture scale.
     "q10_returned_items": "same orders crossover family",
     "q18_large_volume": "same orders crossover family",
-    "q21_sole_late_supplier": "same orders crossover family (the flagged-pipeline join)",
+    # q21_sole_late_supplier RETIRED round 16: the two-aggregate
+    # re-plan hints shuffle_hash on the orders side, so the flagged-
+    # pipeline join can never broadcast even at fixture scale.
     # dedup_embedding_lsh RETIRED round 15: the grouped numpy-kernel
     # re-plan has no joins at all (one bucket exchange + mapInPandas),
     # so nothing can broadcast.
