@@ -285,12 +285,15 @@ def lsh_buckets(
 ) -> DataFrame:
     """(vec_id, bucket): random-hyperplane signature per vector.
 
-    Map-side only (same pattern as dedup_simhash): per row, one
-    zip_with + aggregate fold per plane against the literal codebook —
-    zero shuffles, whole plan inside codegen. The round-1 shape
-    (posexplode x 64 dims -> broadcast-join planes -> groupBy(vec_id,i)
-    -> groupBy(vec_id)) multiplied rows by N_DIMS and shuffled twice
-    for what is per-row arithmetic.
+    Map-side only (same pattern as dedup_simhash): one Arrow-batched
+    numpy pass (``_lsh_bucket_batches``) computes every plane dot
+    product and assembles the bucket bits — zero shuffles; only
+    (vec_id, embedding) crosses the Python boundary. The round-1
+    shape (posexplode x 64 dims -> broadcast-join planes ->
+    groupBy(vec_id,i) -> groupBy(vec_id)) multiplied rows by N_DIMS
+    and shuffled twice for what is per-row arithmetic; the round-5
+    Catalyst zip_with+aggregate fold kept it in codegen but paid 512
+    lambda evaluations per row (retired round 15, PERF note below).
 
     Dot products are quantized with the portable half-up floor
     (floor(dp * 1e6 + 0.5)) before the sign test, mirroring the SQL

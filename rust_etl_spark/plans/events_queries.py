@@ -1059,6 +1059,14 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator and weight sum, exactly like the short collect_list)
     with zero per-row allocation: 1.77-2.89 s, same 204 MB shuffle,
     outputs verified exceptAll-equal over all 10M rows.
+
+    CAVEAT (ADVICE r15): lag-offset == collect_list-fold only while
+    ``value`` is never NULL mid-partition — collect_list SKIPPED
+    nulls (compacting the highest weights onto the remaining values)
+    while the lag form zeroes that offset's weight. The events
+    source has a NOT NULL value column (and the oracle's self-join
+    would diverge the same way), but a future nullable source must
+    either filter nulls first or revisit this equivalence.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts_ns",

@@ -193,11 +193,14 @@ def zorder_key(a, b, bits: int = 16):
     gen_sf10. The DuckDB oracle mirror (layout.morton_duckdb) is
     value-stable so it needs no change. bits <= 16 interleaves
     losslessly into the 32 even/odd positions each side uses; the
-    assert allows up to 32 because the spread masks to 32 bits.
+    cap is 31, not 32: at bits=32 the b-side spread's bit 31 lands
+    (after the final shiftleft(sb, 1)) in long bit 63 — the sign
+    bit — so z-keys go negative and sort locality inverts (ADVICE
+    r15). Shipped callers use bits=21 / default 16.
     """
     from pyspark.sql import functions as F
 
-    assert bits <= 32, "spread chain interleaves at most the low 32 bits per column"
+    assert bits <= 31, "bit 31 of the b-side spread would reach the long sign bit"
     mask = F.lit((1 << bits) - 1).cast("long")
     sa = _morton_spread(a.cast("long").bitwiseAND(mask))
     sb = _morton_spread(b.cast("long").bitwiseAND(mask))

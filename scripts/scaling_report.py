@@ -593,6 +593,19 @@ def _tier_continuity_lines() -> list[str]:
                 f" {raw:.3f}x); adjudicate with an idle re-measure before"
                 f" treating it as a plan change"
             )
+        # Within-run anchor pair (bench.py emits calibration_sec_start
+        # before the headline loop since round 16, VERDICT r15 #8): a
+        # >10% start/end divergence means the record's OWN window was
+        # contended while it ran — flag it in the artifact so the
+        # adjudication doesn't have to live in judge prose.
+        for tag, r in (("prev", rec), ("cur", cur)):
+            cs = r.get("calibration_sec_start")
+            if cs and abs(cs / r["calibration_sec"] - 1.0) > 0.10:
+                line += (
+                    f" — CAUTION: the {tag} record's own start/end anchors"
+                    f" diverge ({cs} -> {r['calibration_sec']} s): contended"
+                    f" window, per-query walls unreliable"
+                )
         out.append(line)
     if not out:
         return []

@@ -112,6 +112,23 @@ def test_segment_bookkeeping_multiple_docs_one_batch():
     assert got[12] == _scalar_simhash([4, 4])
 
 
+def test_empty_th_segment_asserts_instead_of_corrupting():
+    # ADVICE r15: np.add.reduceat on a zero-length segment silently
+    # returns flat[start] — the NEXT doc's first hash — i.e. a wrong
+    # signature, not an error. The kernel must hard-fail so a caller
+    # that drops the size(t) > 0 filter can't ship corrupt output.
+    import pytest
+
+    rows = [
+        (1, np.asarray([7], dtype=np.int64)),
+        (2, np.asarray([], dtype=np.int64)),
+        (3, np.asarray([5], dtype=np.int64)),
+    ]
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows], "th": [r[1] for r in rows]})
+    with pytest.raises(AssertionError, match="empty th segment"):
+        list(_simhash_batches()([pdf]))
+
+
 def test_output_dtypes_are_int64():
     out = list(_simhash_batches()([pd.DataFrame({"doc_id": [1], "th": [np.asarray([2], np.int64)]})]))[0]
     assert out["doc_id"].dtype == np.int64
