@@ -18,10 +18,10 @@ This is crash-safe, not transactional — a
 concurrent reader can still see the directory change underneath it;
 snapshot isolation needs a table format (Delta/Iceberg), whose jars
 are not in this environment (re-checked rounds 5, 6, 8, 10, 11, 12,
-13, 14 and 15: 0 delta/iceberg/hudi jars among the 287 in the pyspark
-distribution, no delta/pyiceberg Python packages, no network to
-fetch; if they ever appear, implement real ``MERGE INTO`` behind this
-same API).
+13, 14, 15 and 16: 0 delta/iceberg/hudi jars among the 287 in the
+pyspark distribution, no delta/pyiceberg Python packages, no network
+to fetch; if they ever appear, implement real ``MERGE INTO`` behind
+this same API).
 (Write-then-rename mirrors the staging
 atomization of the reference, /root/reference/src/main.rs:10.)
 """

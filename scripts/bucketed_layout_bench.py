@@ -89,7 +89,20 @@ FAMILIES = [
     },
     {
         "family": "events_user",
-        "facts": {"events": ("user_id", ["user_id", "ts_ns", "event_id"])},
+        # orders joined the family in round 16, co-bucketed on the SAME
+        # key/count (o_custkey IS user_id in this schema): under AQE a
+        # ONE-sided bucketed join never consumes the bucketing —
+        # EnsureRequirements re-shuffles both sides so AQE can coalesce
+        # freely, and DisableUnnecessaryBucketedScan then turns the
+        # bucketed read off (measured: every {n_buckets} x
+        # {shuffle.partitions} combination re-shuffled; with AQE OFF
+        # and matching counts the exchange disappears). Both-sides-
+        # bucketed is the shape that works under AQE (the q18/q21
+        # orderkey-family precedent), so events_asof_join's orders arm
+        # gets its own bucketed projection and the whole query plans
+        # exchange-free.
+        "facts": {"events": ("user_id", ["user_id", "ts_ns", "event_id"]),
+                  "orders": ("o_custkey", ["o_custkey", "o_orderdate"])},
         # all shuffle user_id first: sessionize (window + session
         # agg), funnel (three per-user conditional-min stages), retention
         # (per-user first-seen aggregate); their remaining small exchanges
@@ -98,15 +111,17 @@ FAMILIES = [
         # largest remaining PURE-events exchanges (scale audit at 100x:
         # interval_merge 245 MB, ewma 204 MB) — user_id-window queries
         # whose only fact exchange the bucket clustering removes
-        # outright. events_asof_join (419 MB, the catalog's biggest
-        # event shuffle) is deliberately NOT in the family: it unions
-        # events with an orders projection before its window, and a
-        # Union has unknown output partitioning, so the window
-        # re-exchanges regardless of the events bucketing — a bucketed
-        # layout cannot help that shape (measured reasoning, see
-        # OPTIMIZATION_r15.md).
+        # outright. events_asof_join joined the family in round 16
+        # (VERDICT r15 #2): the round-15 rejection reasoning ("a Union
+        # has unknown output partitioning, so the window re-exchanges
+        # regardless") died with the union itself — the round-16
+        # re-plan left-joins a per-user orders array onto the 3-column
+        # events projection, so the events arm's user_id clustering
+        # comes straight off the bucketed scan; only the (small)
+        # orders-array side still exchanges.
         "queries": ["events_sessionize", "events_funnel", "events_retention",
-                    "events_ewma", "events_interval_merge"],
+                    "events_ewma", "events_interval_merge",
+                    "events_asof_join"],
         "tiers": ["gen_sf1", "gen_sf3", "gen_sf10"],
     },
 ]
@@ -169,8 +184,15 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     seen: set[int] = set()
 
+    # SPARK_GRAFT_BUCKETED_FAMILIES=events_user re-runs only the named
+    # families and MERGES their rows into the existing BUCKETED_BENCH
+    # record (the untouched families keep their committed rows) — for
+    # re-measuring one family after a re-plan without the full ~20 min.
+    only = os.environ.get("SPARK_GRAFT_BUCKETED_FAMILIES")
+    run_fams = [f for f in FAMILIES if not only or f["family"] in only.split(",")]
+
     families_out = []
-    for fam in FAMILIES:
+    for fam in run_fams:
         queries, facts = fam["queries"], fam["facts"]
         tiers_out = []
         for tag in fam["tiers"]:
@@ -256,7 +278,14 @@ def main() -> None:
         ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BUCKETED_BENCH.json"), "w") as f:
+    out_path = os.path.join(root, "BUCKETED_BENCH.json")
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        ran = {fo["family"] for fo in families_out}
+        merged = [fo for fo in prev.get("families", []) if fo["family"] not in ran]
+        record["families"] = merged + families_out
+    with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")
     print(

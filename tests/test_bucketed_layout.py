@@ -255,7 +255,18 @@ def test_shipped_q10_exchange_count_drops_with_layout(spark, bucketed, no_broadc
 # write-time-order consumption the window's Sort disappears too.
 # ---------------------------------------------------------------------
 
-EVENTS_SPEC = {"events": ("user_id", ["user_id", "ts_ns", "event_id"])}
+#: orders co-bucketed on the same key/count since round 16: under AQE a
+#: ONE-sided bucketed join never consumes the bucketing (measured —
+#: EnsureRequirements re-shuffles both sides at every n_buckets x
+#: shuffle.partitions combination so AQE can coalesce, then
+#: DisableUnnecessaryBucketedScan turns the bucketed read off; AQE off
+#: + matching counts does eliminate the exchange). Both-sides-bucketed
+#: is the AQE-safe shape (the orderkey-family precedent), and it makes
+#: events_asof_join exchange-free end to end.
+EVENTS_SPEC = {
+    "events": ("user_id", ["user_id", "ts_ns", "event_id"]),
+    "orders": ("o_custkey", ["o_custkey", "o_orderdate"]),
+}
 
 
 @pytest.fixture()
@@ -332,6 +343,13 @@ def test_user_bucketed_window_sort_elimination(spark, bucketed_events):
         # scripts/bucketed_layout_bench.py FAMILIES note).
         "events_ewma",
         "events_interval_merge",
+        # round 16 (VERDICT r15 #2, the deferred layout decision): the
+        # union-then-window form could not use the layout (Union has
+        # unknown output partitioning); the round-16 re-plan left-joins
+        # a per-user orders array onto the 3-column events projection,
+        # and with orders co-bucketed on the same key/count (see
+        # EVENTS_SPEC note) the whole query plans exchange-free.
+        "events_asof_join",
     ],
 )
 def test_shipped_events_queries_drop_exchanges_with_layout(
@@ -344,7 +362,8 @@ def test_shipped_events_queries_drop_exchanges_with_layout(
     base_rows = sorted(tuple(r) for r in base_df.collect())
     base_plan = base_df._jdf.queryExecution().executedPlan().toString()
 
-    set_layout_override(SF, "events", bucketed_events["events"])
+    for tbl, tname in bucketed_events.items():
+        set_layout_override(SF, tbl, tname)
     try:
         bkt_df = q.fn(spark, SF)
         bkt_rows = sorted(tuple(r) for r in bkt_df.collect())
