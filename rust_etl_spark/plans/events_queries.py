@@ -1108,37 +1108,80 @@ ROLLING_DISTINCT_DAYS = 7
     """,
     doc=f"Rolling {ROLLING_DISTINCT_DAYS}-day distinct active users per "
     "event day — the DAU/WAU engagement metric. COUNT(DISTINCT) over a "
-    "sliding frame has no native Spark window form; the plan day-grain "
-    "dedups first, then fans each (day,user) out to the at most "
-    f"{ROLLING_DISTINCT_DAYS} windows it can serve (explode of a "
-    "bounded sequence), so cost is linear in distinct user-days.",
+    "sliding frame has no native Spark window form; the plan sweeps "
+    "per-user merged day-intervals (+1 at interval start, -1 past its "
+    "end, prefix-summed over the calendar-bounded day grain), so the "
+    "only fact-sized shuffle is one user-keyed collect_set exchange.",
 )
 def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window distinct counting via bounded fan-out.
+    """Sliding-window distinct counting as a sweep line over per-user
+    merged day-intervals (round-16 re-plan, guide §2.3).
 
-    Day-grain dedup shrinks the input to |distinct (day,user)| before
-    the x7 explode, and the final countDistinct shuffles on the target
-    day — both shuffles are on high-cardinality keys and AQE-
-    splittable. The semi join keeps only days that actually occur
-    (mirroring the oracle's observed-days driver table). No window
-    function touches an unbounded frame.
+    A user counts toward target day d iff some activity day lies in
+    [d-(K-1), d] — equivalently iff d falls inside the union of
+    [day_i, day_i + K-1] intervals, merged wherever consecutive
+    activity days are at most K-1 apart. So the rolling distinct
+    count per day is a prefix sum of interval deltas: +1 at each
+    merged-interval start, -1 at (end + K).
+
+    Dataflow: ONE user-keyed exchange (collect_set partially
+    aggregates map-side; the per-user day set is bounded by the
+    CALENDAR horizon, not the corpus — same argument as the per-user
+    event windows), then a single in-row transform over the sorted
+    day array emits, per element, an optional start delta, an
+    optional end delta, and an observed-day marker; everything
+    collapses to day grain (calendar-bounded rows) and one bounded
+    single-partition prefix-sum window finishes the job. The marker
+    rides the same explode, so no days driver table, no semi join,
+    no x{K} row fan-out.
+
+    PERF (round 16): the previous form exploded each distinct
+    (day, user) row into the K target days it can serve and paid a
+    countDistinct over the fanned rows — 229.1 MB shuffle at
+    gen_sf10. This form shuffles 7.1 MB (-97%) at par wall locally
+    (min-of-5 interleaved 2.22 vs 2.18 s — the fan-out exchange is
+    not the LOCAL wall, the bytes are the cluster currency);
+    outputs exceptAll-equal both ways at gen_sf10.
     """
+    K = ROLLING_DISTINCT_DAYS
+    delta_t = "array<struct<day:bigint,c:int,obs:int>>"
     ev = load_table(spark, sf_dir, "events").select(
         F.expr(f"ts_ns div {DAY_NS}").alias("day"), "user_id"
     )
-    du = ev.distinct()
-    days = du.select("day").distinct()
-    fanned = du.select(
-        F.explode(
-            F.sequence(F.col("day"), F.col("day") + (ROLLING_DISTINCT_DAYS - 1))
-        ).alias("target_day"),
-        "user_id",
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("day")).alias("ds")
     )
+    ds = F.col("ds")
+
+    # Per element i of the user's sorted day array, emit up to three
+    # structs: (+1 at d) when an interval starts (i == 0 or gap > K-1),
+    # (-1 at d+K) when one ends (i == last or gap > K-1), and an
+    # observed-day marker (so output days mirror the oracle's
+    # observed-days driver table without a join). F.get is 0-based and
+    # NULL out of bounds — no ANSI element_at(0) hazard, and NULL
+    # comparisons fall through `when` to the empty branch.
+    def emit(d, i):
+        start = F.when(
+            (i == 0) | (d - F.get(ds, i - 1) > K - 1),
+            F.array(F.struct(d.alias("day"), F.lit(1).alias("c"), F.lit(0).alias("obs"))),
+        ).otherwise(F.array().cast(delta_t))
+        end = F.when(
+            (i == F.size(ds) - 1) | (F.get(ds, i + 1) - d > K - 1),
+            F.array(F.struct((d + K).alias("day"), F.lit(-1).alias("c"), F.lit(0).alias("obs"))),
+        ).otherwise(F.array().cast(delta_t))
+        mark = F.array(F.struct(d.alias("day"), F.lit(0).alias("c"), F.lit(1).alias("obs")))
+        return F.concat(start, end, mark)
+
+    md = (
+        per_user.select(F.explode(F.flatten(F.transform(ds, emit))).alias("s"))
+        .groupBy("s.day")
+        .agg(F.sum("s.c").alias("d"), F.max("s.obs").alias("obs"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        fanned.join(days.withColumnRenamed("day", "target_day"), "target_day", "semi")
-        .groupBy("target_day")
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
-        .select(F.col("target_day").alias("day"), "n_users_7d")
+        md.select("day", F.sum("d").over(w).cast("long").alias("n_users_7d"), "obs")
+        .filter(F.col("obs") == 1)
+        .select("day", "n_users_7d")
     )
 
 

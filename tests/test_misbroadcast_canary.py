@@ -77,7 +77,9 @@ REDUCED_OK = {
     "events_zscore": "per-day-of-week grid (7 rows/type)",
     "events_anomaly_mad": "per-type day grid (bounded by date span)",
     "events_seasonal_decompose": "day-of-week seasonal grid",
-    "events_rolling_distinct": "day-grain distinct grid (bounded by date span)",
+    # events_rolling_distinct RETIRED round 16: the sweep-line re-plan
+    # has no join at all (one user_id collect_set exchange + day-grain
+    # prefix sum), so nothing can broadcast.
     "window_range_frame": "value-bucket dimension (bounded bucket domain)",
     # sublinear codebooks / vocabularies (kmeans_iterate retired in
     # round 12: the numpy assignment kernel ships the codebook in the

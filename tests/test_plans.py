@@ -489,13 +489,21 @@ def test_events_ewma_single_shuffle_no_join(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
-def test_events_rolling_distinct_has_no_unbounded_window(spark):
-    """Rolling distinct counting is dedup + bounded fan-out + count:
-    no window operator at all (a RANGE-frame count-distinct would be
-    unbounded state), and no single-partition exchange."""
+def test_events_rolling_distinct_sweep_line_shape(spark):
+    """Round-16 sweep-line re-plan: ONE fact-sized exchange (the
+    user_id collect_set), deltas collapsed to calendar-bounded day
+    grain, then a bounded single-partition prefix-sum window — no
+    join (the old form's days semi join) and no x{K} fan-out
+    countDistinct (which shuffled every fanned row: 229.1 -> 7.1 MB
+    at gen_sf10). Exactly one window (the prefix sum; its
+    single-partition input is day-grain, adjudicated in
+    BOUNDED_GRAIN_SP_WINDOW_OK) and at most two hash exchanges
+    (user_id + day grain)."""
     plan = _formatted_plan(spark, "events_rolling_distinct")
-    assert "Window" not in plan
-    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    import re as _re
+    assert len(_re.findall(r"\(\d+\) Window", plan)) == 1, plan
 
 
 def test_corpus_clean_pipeline_is_one_map_side_pass(spark):
@@ -576,6 +584,10 @@ BOUNDED_GRAIN_SP_WINDOW_OK = {
     "domain grain: grows with the calendar horizon, not the event rate)",
     "events_cumulative_users": "running sum over distinct days (same "
     "time-domain grain)",
+    "events_rolling_distinct": "prefix sum of per-user interval deltas "
+    "collapsed to day grain first (round-16 sweep-line re-plan) — the "
+    "window input is calendar-bounded like the other time-domain "
+    "entries, never corpus-sized",
     "events_lateness_profile": "exclusive prefix max over event-id "
     "blocks at the SCALE-AWARE sqrt(N) block width (late_block — round "
     "8 fix: the fixed 1000-wide block grew this window N/1000 = "
