@@ -1138,10 +1138,18 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERF (round 16): the previous form exploded each distinct
     (day, user) row into the K target days it can serve and paid a
     countDistinct over the fanned rows — 229.1 MB shuffle at
-    gen_sf10. This form shuffles 7.1 MB (-97%) at par wall locally
-    (min-of-5 interleaved 2.22 vs 2.18 s — the fan-out exchange is
-    not the LOCAL wall, the bytes are the cluster currency);
-    outputs exceptAll-equal both ways at gen_sf10.
+    gen_sf10. This form shuffles 7.1 MB (-97%). The LOCAL wall is
+    measured honestly: idle min-of-5 reads 2.84 s vs the fan-out
+    form's 2.35 (+21%) — the collect_set ObjectHashAggregate is
+    non-codegen while the fan-out was all codegen, and on one
+    machine shuffle "bytes" are memory traffic, so the byte win
+    cannot show. The trade is deliberate per guide §2.3: the 222 MB
+    saved is the cluster-scaling currency (at 100 TB the fan-out's
+    network crossing dominates any per-row CPU), exactly the q9
+    bytes-over-local-wall precedent. A distinct-then-collect_list
+    variant (codegen first aggregate) measured 2.78 s but pays a
+    second exchange (~37 MB) — rejected, par wall for 5x the bytes.
+    Outputs exceptAll-equal both ways at gen_sf10.
     """
     K = ROLLING_DISTINCT_DAYS
     delta_t = "array<struct<day:bigint,c:int,obs:int>>"

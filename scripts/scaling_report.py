@@ -196,6 +196,29 @@ _R10_NOISE_CLOSURE = (
     "driver-bench noise family."
 )
 WATCH_NOTES = {
+    "r16_optimization_chain": (
+        "the round-16 chain ran on the final-optimization-round HEAD "
+        "(4 re-plans + the co-bucketed events/orders layout; "
+        "OPTIMIZATION_r16.md). gen_sf10: headline 40.63 -> 34.70 s, "
+        "extended 87.18 -> 75.06 s at par anchors (1.011/0.977); the "
+        "re-planned queries landed at their A/B-predicted values "
+        "(q21 7.25 -> 6.03, events_asof_join 2.61 -> 2.05, "
+        "decontaminate 5.55 -> 3.21). Chain movers adjudicated idle "
+        "(IDLE_REMEASURES.json): events_retention +47% idles at 0.95x "
+        "(noise, spread 3.7 in the chain slot), events_zscore +16% at "
+        "1.04x (noise), events_rolling_distinct +24% CONFIRMED at "
+        "2.84 s (spread 0.11) — the deliberate bytes-for-local-CPU "
+        "trade of its sweep-line re-plan (229.1 -> 7.1 MB shuffle; "
+        "collect_set is non-codegen where the retired fan-out was "
+        "all-codegen; see the query docstring). The chain's sf0.1 "
+        "bench slot landed in a contended window (15.89 s headline, "
+        "uniformly 1.3-1.7x on untouched sub-second queries at PAR "
+        "start/end CPU anchors — the anchor pair catches CPU "
+        "contention, not this VM's I/O/scheduler windows); re-run "
+        "verified-quiet per the round-11 doctrine: 13.198 s headline "
+        "/ 27.733 s extended at anchors 0.985/0.987, and the "
+        "committed sf0.1 record IS the quiet run."
+    ),
     "r15_optimization_chain": (
         "the third round-15 chain ran on the optimization-round HEAD "
         "(7 re-plans + 5 expression/kernel swaps; OPTIMIZATION_r15.md) "
