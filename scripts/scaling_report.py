@@ -217,7 +217,19 @@ WATCH_NOTES = {
         "contention, not this VM's I/O/scheduler windows); re-run "
         "verified-quiet per the round-11 doctrine: 13.198 s headline "
         "/ 27.733 s extended at anchors 0.985/0.987, and the "
-        "committed sf0.1 record IS the quiet run."
+        "committed sf0.1 record IS the quiet run. gen_sf0.3 (the "
+        "overhead-dominated smallest tier, the r14 window-family "
+        "precedent) carries three elevated sub-second movers on "
+        "untouched code (q16 0.45 -> 0.81, pca 0.63 -> 0.95); idle "
+        "re-measures swing 0.55-0.97 with spreads comparable to the "
+        "deltas, pca reads PAR (0.629) in a later quiet run, and a "
+        "full stage re-run was itself flagged by the new start/end "
+        "anchor pair (1.193 -> 0.994: contended start) so the chain "
+        "record — whose own anchor pair is healthy (1.001/1.002) — "
+        "stays committed; big tiers are par on the same code "
+        "(gen_sf3 1.019x, gen_sf10 headline calibrated 0.885x). "
+        "events_rolling_distinct's small-tier +18-27% is its "
+        "documented bytes-for-CPU trade, not noise."
     ),
     "r15_optimization_chain": (
         "the third round-15 chain ran on the optimization-round HEAD "
